@@ -1,0 +1,205 @@
+"""Batched differentiable grid sampling (2D bilinear / 3D trilinear / nearest).
+
+TPU-native replacement for the cuDNN-backed ``torch.nn.functional.grid_sample``
+the reference leans on everywhere (reference: advchain/augmentor/adv_affine.py:303-313,
+advchain/augmentor/adv_morph.py:546-557, adv_morph.py:179-202).  Semantics match
+PyTorch exactly (validated against torch CPU in tests/test_grid_sample.py):
+
+* ``align_corners=True``: grid value -1/+1 maps to the *centers* of the corner
+  pixels, i.e. unnormalized coordinate ``(g + 1) / 2 * (size - 1)``.
+* ``align_corners=False``: -1/+1 maps to the outer edges,
+  ``((g + 1) * size - 1) / 2``.
+* padding modes ``zeros`` / ``border`` / ``reflection`` (torch reflect rules).
+* gradients flow to BOTH the input and the grid (the adversarial chain
+  optimises deformation/affine parameters *through* the sampler).
+
+Implementation notes (XLA-first):
+  the gather is expressed as ``jnp.take_along_axis`` over the flattened
+  spatial axis, which XLA lowers to a single dynamic-gather that tiles well on
+  TPU; the 4 (resp. 8) corner contributions are fused elementwise by XLA.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ["grid_sample", "grid_sample_2d", "grid_sample_3d"]
+
+
+def _unnormalize(coord, size: int, align_corners: bool):
+    """[-1, 1] -> pixel coordinate, torch grid_sampler convention."""
+    size = float(size)
+    if align_corners:
+        return (coord + 1.0) * 0.5 * (size - 1.0)
+    return ((coord + 1.0) * size - 1.0) * 0.5
+
+
+def _reflect(coord, size: int, align_corners: bool):
+    """Reflect out-of-range pixel coordinates, matching torch `reflect_coordinates`.
+
+    For align_corners=True the reflection window is [0, size-1]; otherwise
+    [-0.5, size-0.5].
+    """
+    if align_corners:
+        low, high = 0.0, float(size - 1)
+    else:
+        low, high = -0.5, float(size) - 0.5
+    span = high - low
+    if span <= 0:
+        return jnp.zeros_like(coord)
+    # fold into [low, low + 2*span) then reflect the upper half
+    x = jnp.abs(coord - low)
+    x = jnp.mod(x, 2.0 * span)
+    x = jnp.where(x > span, 2.0 * span - x, x)
+    return x + low
+
+
+def _prep_coord(g, size: int, align_corners: bool, padding_mode: str):
+    """Returns pixel-space coordinate, transformed per padding mode."""
+    ix = _unnormalize(g, size, align_corners)
+    if padding_mode == "reflection":
+        ix = _reflect(ix, size, align_corners)
+        # torch additionally clips reflected coords into bounds
+        ix = jnp.clip(ix, 0.0, float(size - 1))
+    elif padding_mode == "border":
+        ix = jnp.clip(ix, 0.0, float(size - 1))
+    return ix
+
+
+def _gather_nd(x_flat, idx_flat):
+    """x_flat: (N, C, S); idx_flat: (N, P) int32 -> (N, C, P)."""
+    n, c, _ = x_flat.shape
+    idx = jnp.broadcast_to(idx_flat[:, None, :], (n, c, idx_flat.shape[-1]))
+    return jnp.take_along_axis(x_flat, idx, axis=2)
+
+
+@functools.partial(jax.jit, static_argnames=("mode", "padding_mode", "align_corners"))
+def grid_sample_2d(x, grid, mode: str = "bilinear", padding_mode: str = "zeros",
+                   align_corners: bool = True):
+    """Sample ``x`` (N, C, H, W) at ``grid`` (N, Ho, Wo, 2); grid[..., 0]=x (W axis).
+
+    Matches ``torch.nn.functional.grid_sample`` bit-for-bit up to float32
+    rounding (<1e-6 in tests).
+    """
+    n, c, h, w = x.shape
+    _, ho, wo, two = grid.shape
+    assert two == 2, f"2D grid last dim must be 2, got {two}"
+    compute_dtype = jnp.promote_types(x.dtype, grid.dtype)
+    gx = grid[..., 0].astype(compute_dtype).reshape(n, ho * wo)
+    gy = grid[..., 1].astype(compute_dtype).reshape(n, ho * wo)
+
+    ix = _prep_coord(gx, w, align_corners, padding_mode)
+    iy = _prep_coord(gy, h, align_corners, padding_mode)
+
+    x_flat = x.astype(compute_dtype).reshape(n, c, h * w)
+
+    if mode == "nearest":
+        # torch uses round-half-to-even (std::nearbyint); jnp.round matches.
+        ix_n = jnp.round(ix)
+        iy_n = jnp.round(iy)
+        inb = (ix_n >= 0) & (ix_n <= w - 1) & (iy_n >= 0) & (iy_n <= h - 1)
+        ixc = jnp.clip(ix_n, 0, w - 1).astype(jnp.int32)
+        iyc = jnp.clip(iy_n, 0, h - 1).astype(jnp.int32)
+        vals = _gather_nd(x_flat, iyc * w + ixc)
+        if padding_mode == "zeros":
+            vals = vals * inb[:, None, :].astype(compute_dtype)
+        return vals.reshape(n, c, ho, wo).astype(x.dtype)
+
+    if mode != "bilinear":
+        raise NotImplementedError(f"mode={mode!r}; only bilinear/nearest supported")
+
+    x0 = jnp.floor(ix)
+    y0 = jnp.floor(iy)
+    x1 = x0 + 1.0
+    y1 = y0 + 1.0
+    wx1 = ix - x0
+    wx0 = 1.0 - wx1
+    wy1 = iy - y0
+    wy0 = 1.0 - wy1
+
+    out = None
+    for xi, wxi in ((x0, wx0), (x1, wx1)):
+        for yi, wyi in ((y0, wy0), (y1, wy1)):
+            wgt = wxi * wyi
+            if padding_mode == "zeros":
+                inb = (xi >= 0) & (xi <= w - 1) & (yi >= 0) & (yi <= h - 1)
+                wgt = wgt * inb.astype(compute_dtype)
+            xc = jnp.clip(xi, 0, w - 1).astype(jnp.int32)
+            yc = jnp.clip(yi, 0, h - 1).astype(jnp.int32)
+            v = _gather_nd(x_flat, yc * w + xc)
+            contrib = v * wgt[:, None, :]
+            out = contrib if out is None else out + contrib
+    return out.reshape(n, c, ho, wo).astype(x.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("mode", "padding_mode", "align_corners"))
+def grid_sample_3d(x, grid, mode: str = "bilinear", padding_mode: str = "zeros",
+                   align_corners: bool = True):
+    """Sample ``x`` (N, C, D, H, W) at ``grid`` (N, Do, Ho, Wo, 3).
+
+    grid[..., 0] indexes W, [..., 1] indexes H, [..., 2] indexes D — the torch
+    convention (``mode='bilinear'`` means trilinear for 5-D inputs).
+    """
+    n, c, d, h, w = x.shape
+    _, do, ho, wo, three = grid.shape
+    assert three == 3, f"3D grid last dim must be 3, got {three}"
+    p = do * ho * wo
+    compute_dtype = jnp.promote_types(x.dtype, grid.dtype)
+    gx = grid[..., 0].astype(compute_dtype).reshape(n, p)
+    gy = grid[..., 1].astype(compute_dtype).reshape(n, p)
+    gz = grid[..., 2].astype(compute_dtype).reshape(n, p)
+
+    ix = _prep_coord(gx, w, align_corners, padding_mode)
+    iy = _prep_coord(gy, h, align_corners, padding_mode)
+    iz = _prep_coord(gz, d, align_corners, padding_mode)
+
+    x_flat = x.astype(compute_dtype).reshape(n, c, d * h * w)
+
+    if mode == "nearest":
+        ix_n, iy_n, iz_n = jnp.round(ix), jnp.round(iy), jnp.round(iz)
+        inb = ((ix_n >= 0) & (ix_n <= w - 1) & (iy_n >= 0) & (iy_n <= h - 1)
+               & (iz_n >= 0) & (iz_n <= d - 1))
+        ixc = jnp.clip(ix_n, 0, w - 1).astype(jnp.int32)
+        iyc = jnp.clip(iy_n, 0, h - 1).astype(jnp.int32)
+        izc = jnp.clip(iz_n, 0, d - 1).astype(jnp.int32)
+        vals = _gather_nd(x_flat, (izc * h + iyc) * w + ixc)
+        if padding_mode == "zeros":
+            vals = vals * inb[:, None, :].astype(compute_dtype)
+        return vals.reshape(n, c, do, ho, wo).astype(x.dtype)
+
+    if mode != "bilinear":
+        raise NotImplementedError(f"mode={mode!r}; only bilinear/nearest supported")
+
+    x0, y0, z0 = jnp.floor(ix), jnp.floor(iy), jnp.floor(iz)
+    wx1, wy1, wz1 = ix - x0, iy - y0, iz - z0
+    wx0, wy0, wz0 = 1.0 - wx1, 1.0 - wy1, 1.0 - wz1
+
+    out = None
+    for xi, wxi in ((x0, wx0), (x0 + 1.0, wx1)):
+        for yi, wyi in ((y0, wy0), (y0 + 1.0, wy1)):
+            for zi, wzi in ((z0, wz0), (z0 + 1.0, wz1)):
+                wgt = wxi * wyi * wzi
+                if padding_mode == "zeros":
+                    inb = ((xi >= 0) & (xi <= w - 1) & (yi >= 0) & (yi <= h - 1)
+                           & (zi >= 0) & (zi <= d - 1))
+                    wgt = wgt * inb.astype(compute_dtype)
+                xc = jnp.clip(xi, 0, w - 1).astype(jnp.int32)
+                yc = jnp.clip(yi, 0, h - 1).astype(jnp.int32)
+                zc = jnp.clip(zi, 0, d - 1).astype(jnp.int32)
+                v = _gather_nd(x_flat, (zc * h + yc) * w + xc)
+                contrib = v * wgt[:, None, :]
+                out = contrib if out is None else out + contrib
+    return out.reshape(n, c, do, ho, wo).astype(x.dtype)
+
+
+def grid_sample(x, grid, mode: str = "bilinear", padding_mode: str = "zeros",
+                align_corners: bool = True):
+    """Dispatch on rank: 4-D input -> 2D sampler, 5-D input -> 3D sampler."""
+    if x.ndim == 4:
+        return grid_sample_2d(x, grid, mode, padding_mode, align_corners)
+    if x.ndim == 5:
+        return grid_sample_3d(x, grid, mode, padding_mode, align_corners)
+    raise ValueError(f"grid_sample expects 4-D or 5-D input, got {x.ndim}-D")

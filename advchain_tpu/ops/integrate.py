@@ -1,0 +1,132 @@
+"""Diffeomorphic vector-field integration (scaling & squaring) and flow
+composition, plus base sampling grids and Jacobian diagnostics.
+
+Replicates reference advchain/augmentor/adv_morph.py:14-55 (base grid),
+:101-113 (integrate_by_add), :116-177 (exponentiation 2D/3D), :179-202
+(composition) and :57-98 (Jacobian determinant) with JAX-friendly control
+flow: the 3D adaptive step-count growth (adv_morph.py:160-162, a
+data-dependent Python while loop) becomes a closed-form step count plus a
+bounded `lax.cond` ladder so the whole path stays jittable AND
+reverse-differentiable (the PGD loop needs gradients through all 8+
+nested grid-samples).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from .grid_sample import grid_sample_2d, grid_sample_3d
+
+__all__ = ["base_grid", "compose_flow", "exponentiate_flow",
+           "jacobian_determinant_2d"]
+
+# static upper bound on extra squaring steps beyond the configured count;
+# each extra step halves the field, so 8 extra covers ||duv|| up to 2^8/2
+# larger than the configured budget — far beyond any sane deformation.
+_MAX_EXTRA_STEPS = 8
+
+
+def base_grid(batch_size: int, spatial_shape, dtype=jnp.float32):
+    """Identity grid (N, d, *spatial), values in [-1, 1].
+
+    Channel i varies along spatial axis (d-1-i): channel 0 ('x') along the
+    last axis, matching reference get_base_grid (adv_morph.py:14-55), so a
+    channel-last permute of this grid feeds grid_sample directly.
+    """
+    spatial_shape = tuple(int(s) for s in spatial_shape)
+    d = len(spatial_shape)
+    axes = [jnp.linspace(-1.0, 1.0, s, dtype=dtype) for s in spatial_shape]
+    mesh = jnp.meshgrid(*axes, indexing="ij")  # list of (*spatial)
+    # channel order: x = last spatial axis first
+    chans = [mesh[d - 1 - i] for i in range(d)]
+    grid = jnp.stack(chans, axis=0)[None]  # (1, d, *spatial)
+    return jnp.broadcast_to(grid, (batch_size, d) + spatial_shape)
+
+
+def compose_flow(flow1, flow2):
+    """h = f(g(x)): sample flow1 at the positions given by flow2.
+
+    flow*: (N, d, *spatial) channel-first deformation grids in [-1, 1].
+    border padding + align_corners=True (reference adv_morph.py:179-202).
+    """
+    d = flow1.shape[1]
+    if d == 2:
+        grid = jnp.moveaxis(flow2, 1, -1)  # (N, H, W, 2)
+        return grid_sample_2d(flow1, grid, mode="bilinear",
+                              padding_mode="border", align_corners=True)
+    grid = jnp.moveaxis(flow2, 1, -1)  # (N, S0, S1, S2, 3)
+    return grid_sample_3d(flow1, grid, mode="bilinear",
+                          padding_mode="border", align_corners=True)
+
+
+def exponentiate_flow(duv, nb_steps: int = 8, method: str = "ss",
+                      adaptive: bool = False):
+    """Vector-field exponentiation; returns the integrated *offset* field.
+
+    duv: (N, d, *spatial) velocity field.  'ss' = scaling and squaring
+    (Vercauteren diffeomorphic demons).  With ``adaptive=True`` (the 3D
+    reference path) the step count grows until ||duv / 2^n||_F <= 0.5;
+    here that is the closed form n = max(nb_steps, ceil(log2(||duv||/0.5)))
+    with a static ladder of `lax.cond` squarings so it stays jittable.
+    """
+    d = duv.shape[1]
+    spatial = duv.shape[2:]
+    grid = base_grid(duv.shape[0], spatial, dtype=duv.dtype)
+
+    if method == "ss":
+        if not adaptive:
+            phi = grid + duv / (2.0 ** nb_steps)
+            for _ in range(nb_steps):
+                phi = compose_flow(phi, phi)
+            return phi - grid
+        norm = jnp.linalg.norm(duv.reshape(-1))
+        needed = jnp.ceil(jnp.log2(jnp.maximum(norm, 1e-30) / 0.5))
+        n_dyn = jnp.maximum(jnp.int32(nb_steps), needed.astype(jnp.int32))
+        n_dyn = jnp.minimum(n_dyn, jnp.int32(nb_steps + _MAX_EXTRA_STEPS))
+        phi = grid + duv * jnp.exp2(-n_dyn.astype(duv.dtype))
+        for i in range(nb_steps + _MAX_EXTRA_STEPS):
+            phi = lax.cond(i < n_dyn, lambda p: compose_flow(p, p),
+                           lambda p: p, phi)
+        return phi - grid
+
+    if method == "euler":
+        # reference 2D euler: nb_steps compositions of the interval flow
+        # (adv_morph.py:137-141); the 3D euler path crashes upstream
+        # (range(2.0**n), adv_morph.py:172) — here fixed to int(2**n).
+        phi = grid + duv / (2.0 ** nb_steps)
+        interval_phi = phi
+        count = nb_steps if d == 2 else int(2 ** nb_steps)
+        def body(_, p):
+            return compose_flow(interval_phi, p)
+        phi = lax.fori_loop(0, count, body, phi)
+        return phi - grid
+
+    raise NotImplementedError(f"integration method {method!r}")
+
+
+def _central_diff(images, axis: int):
+    """Central difference with forward/backward at the borders
+    (reference calculate_image_diff, adv_morph.py:57-76)."""
+    fwd = jnp.take(images, jnp.arange(1, images.shape[axis]), axis=axis) - \
+        jnp.take(images, jnp.arange(0, images.shape[axis] - 1), axis=axis)
+    first = lax.index_in_dim(fwd, 0, axis=axis, keepdims=True)
+    last = lax.index_in_dim(fwd, fwd.shape[axis] - 1, axis=axis, keepdims=True)
+    n = images.shape[axis]
+    mid = 0.5 * (jnp.take(images, jnp.arange(2, n), axis=axis)
+                 - jnp.take(images, jnp.arange(0, n - 2), axis=axis))
+    return jnp.concatenate([first, mid, last], axis=axis)
+
+
+def jacobian_determinant_2d(displacement):
+    """det J for a batch of 2-D displacement fields (N, 2, H, W) ->
+    (N, 1, H, W); det = (1+dxx)(1+dyy) - dxy*dyx (adv_morph.py:79-98)."""
+    assert displacement.ndim == 4 and displacement.shape[1] == 2
+    dx = displacement[:, 0:1]
+    dy = displacement[:, 1:2]
+    dxx = _central_diff(dx, axis=3)
+    dxy = _central_diff(dx, axis=2)
+    dyx = _central_diff(dy, axis=3)
+    dyy = _central_diff(dy, axis=2)
+    return (1.0 + dxx) * (1.0 + dyy) - dxy * dyx
