@@ -75,33 +75,40 @@ def exponentiate_flow(duv, nb_steps: int = 8, method: str = "ss",
     spatial = duv.shape[2:]
     grid = base_grid(duv.shape[0], spatial, dtype=duv.dtype)
 
+    # PARITY QUIRK (reference adv_morph.py:101-113,129-143): integrate_by_add
+    # mutates the base grid IN PLACE, so the final `phi - grid_wh` subtracts
+    # the MUTATED grid = grid + duv/2^n.  The returned "offset" is therefore
+    # phi_final - (grid + duv/2^n), replicated here as `phi - phi0`.
     if method == "ss":
         if not adaptive:
-            phi = grid + duv / (2.0 ** nb_steps)
+            phi0 = grid + duv / (2.0 ** nb_steps)
+            phi = phi0
             for _ in range(nb_steps):
                 phi = compose_flow(phi, phi)
-            return phi - grid
+            return phi - phi0
         norm = jnp.linalg.norm(duv.reshape(-1))
         needed = jnp.ceil(jnp.log2(jnp.maximum(norm, 1e-30) / 0.5))
         n_dyn = jnp.maximum(jnp.int32(nb_steps), needed.astype(jnp.int32))
         n_dyn = jnp.minimum(n_dyn, jnp.int32(nb_steps + _MAX_EXTRA_STEPS))
-        phi = grid + duv * jnp.exp2(-n_dyn.astype(duv.dtype))
+        phi0 = grid + duv * jnp.exp2(-n_dyn.astype(duv.dtype))
+        phi = phi0
         for i in range(nb_steps + _MAX_EXTRA_STEPS):
             phi = lax.cond(i < n_dyn, lambda p: compose_flow(p, p),
                            lambda p: p, phi)
-        return phi - grid
+        return phi - phi0
 
     if method == "euler":
         # reference 2D euler: nb_steps compositions of the interval flow
         # (adv_morph.py:137-141); the 3D euler path crashes upstream
         # (range(2.0**n), adv_morph.py:172) — here fixed to int(2**n).
-        phi = grid + duv / (2.0 ** nb_steps)
-        interval_phi = phi
+        phi0 = grid + duv / (2.0 ** nb_steps)
+        phi = phi0
+        interval_phi = phi0
         count = nb_steps if d == 2 else int(2 ** nb_steps)
         def body(_, p):
             return compose_flow(interval_phi, p)
         phi = lax.fori_loop(0, count, body, phi)
-        return phi - grid
+        return phi - phi0
 
     raise NotImplementedError(f"integration method {method!r}")
 

@@ -1,5 +1,12 @@
 """Test config: run JAX on a virtual 8-device CPU mesh so sharding tests work
-without TPU hardware, and keep float32 math (torch parity)."""
+without TPU hardware, and keep float32 math (torch parity).
+
+Note: in the dev container a sitecustomize pre-imports jax with a TPU
+platform plugin, so setting JAX_PLATFORMS here is too late.  The CPU backend
+still initialises lazily and picks up --xla_force_host_platform_device_count,
+so we (a) set the flag, (b) pin jax_default_device to CPU.  Mesh tests should
+build meshes from ``jax.devices("cpu")`` explicitly (see ``cpu_devices``).
+"""
 
 import os
 
@@ -10,10 +17,22 @@ if "xla_force_host_platform_device_count" not in flags:
         flags + " --xla_force_host_platform_device_count=8").strip()
 os.environ.setdefault("JAX_ENABLE_X64", "0")
 
+import jax  # noqa: E402
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
+
+try:
+    _cpu0 = jax.devices("cpu")[0]
+    jax.config.update("jax_default_device", _cpu0)
+except Exception:  # pragma: no cover - no cpu backend should never happen
+    pass
 
 
 @pytest.fixture(scope="session")
 def rng():
     return np.random.RandomState(0)
+
+
+@pytest.fixture(scope="session")
+def cpu_devices():
+    return jax.devices("cpu")
