@@ -181,7 +181,7 @@ class AdvAffine(AdvTransformBase):
         if interp is None:
             interp = self.forward_interp
         m = self._matrix(params, training)
-        self.affine_matrix = m
+        self._stash("affine_matrix", m)
         return self.transform(data, m, interp=interp)
 
     def inverse(self, params, data, training: bool = False, interp=None,

@@ -174,6 +174,13 @@ class AdvTransformBase:
     def _record_diff(self, data, out):
         return out - data
 
+    def _stash(self, name, value):
+        """Record a debug/vis artifact (bias field, affine matrix, ...) on the
+        instance — but only outside jit: stashing a traced value would leak a
+        tracer out of the jitted PGD step."""
+        if not isinstance(value, jax.core.Tracer):
+            setattr(self, name, value)
+
     # ------------------------------------------------------------- helpers
     def unit_normalize(self, d, p_type: str = "l2"):
         return norms.unit_normalize(d, p_type)

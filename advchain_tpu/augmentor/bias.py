@@ -95,7 +95,7 @@ class AdvBias(AdvTransformBase):
         scale = self.xi if (self.power_iteration and training) else 1.0
         field = self.compute_smoothed_bias(scale * params)
         field = clip_bias(field, self.magnitude)
-        self.bias_field = field  # stashed for parity with reference debug use
+        self._stash("bias_field", field)  # parity with reference debug use
         out = field * data
         if self.ignore_values is not None:
             if isinstance(self.ignore_values, float):

@@ -1,0 +1,558 @@
+"""ComposeAdversarialTransformSolver — chain transforms, optimize them
+adversarially (PGD / power iteration), return the consistency loss.
+
+Parity with reference advchain/augmentor/adv_compose_solver.py with a
+TPU-native execution model:
+
+* the per-iteration PGD step (chain-apply -> frozen-net forward -> geometric
+  warp-back + ones-mask roundtrip -> divergence -> grad w.r.t. transform
+  params -> per-transform ascent update) is compiled as ONE jitted XLA
+  program and cached per (model, shapes, flags) — the common path never
+  leaves the device;
+* rare-path control flow (the anatomy/volume-preserving graduated retry,
+  adv_compose_solver.py:376-401, and rejection sampling of random geometric
+  inits, :493-500) stays host-side around the jitted step, exactly
+  mirroring the reference's behavioral fallbacks;
+* NaN/Inf guard (adv_compose_solver.py:345-346): a non-finite divergence
+  skips the parameter update for that iteration (jnp.where on the device).
+
+Model contract: ``model`` is a jit-traceable callable ``model(x) -> logits``
+whose semantics over one ``adversarial_training`` call must be those of a
+*fixed* network — BatchNorm in batch-statistics mode with running stats
+frozen, dropout masks fixed (the reference achieves this with
+``_disable_tracking_bn_stats`` + Fixable dropout replay,
+common/utils.py:114-173; in JAX simply close over params/batch-stats and a
+fixed dropout rng).  If the object exposes ``begin_episode(key)`` the solver
+calls it once per ``adversarial_training``/``get_adv_data`` call so wrapper
+classes can redraw their fixed dropout mask per episode.
+
+Known divergence from the reference (documented): the reference's
+``step_sizes`` list is effectively broken — its loop index is never
+incremented so all transforms use ``step_sizes[0]``
+(adv_compose_solver.py:349-364); here the *documented* API (per-transform
+step sizes, README.md:205) is honored.
+"""
+
+from __future__ import annotations
+
+import logging
+from typing import Any, Callable, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+
+from advchain_tpu.losses import calc_segmentation_consistency
+
+logger = logging.getLogger(__name__)
+
+
+def _binarize_nonzero(mask):
+    """mask[mask != 0] = 1 (reference adv_compose_solver.py:268,325)."""
+    return jnp.where(mask != 0, jnp.ones_like(mask), mask)
+
+
+class ComposeAdversarialTransformSolver:
+    """Apply and adversarially optimize a chain of transforms
+    (reference adv_compose_solver.py:11)."""
+
+    def __init__(self, chain_of_transforms=None,
+                 divergence_types: Sequence[str] = ("mse", "contour"),
+                 divergence_weights: Sequence[float] = (1.0, 0.5),
+                 use_gpu: bool = True, debug: bool = False,
+                 if_norm_image: bool = False,
+                 min_intensity: Optional[float] = None,
+                 max_intensity: Optional[float] = None,
+                 is_gt: bool = False):
+        self.chain_of_transforms = list(chain_of_transforms or [])
+        self.use_gpu = use_gpu  # accepted for API parity; placement is JAX's
+        self.debug = debug
+        self.divergence_weights = list(divergence_weights)
+        self.divergence_types = list(divergence_types)
+        self.require_bi_loss = self.if_contains_geo_transform()
+        self.if_norm_image = if_norm_image
+        self.min_intensity = min_intensity
+        self.max_intensity = max_intensity
+        self.is_gt = is_gt
+        self.class_weights = None
+        self._step_cache = {}
+
+    # ------------------------------------------------------------ main API
+    def adversarial_training(self, data, model, optimize_flags=None,
+                             init_output=None, lazy_load: bool = False,
+                             power_iteration=False, n_iter: int = 1,
+                             step_sizes=None, anatomy_mask_images=None,
+                             anatomy_reg_weight: float = 50,
+                             volume_preserve_tolerance: float = 5e-4):
+        """Optimize the chain to maximize prediction inconsistency, then
+        return the adversarial consistency loss
+        (reference adv_compose_solver.py:43-146)."""
+        optimize_flags = self._normalize_flags(optimize_flags, n_iter)
+        self._apply_power_iteration_setting(power_iteration)
+        step_sizes = self._normalize_step_sizes(step_sizes)
+
+        if hasattr(model, "begin_episode"):
+            model.begin_episode()
+        if init_output is None:
+            init_output = self.get_init_output(data=data, model=model)
+
+        self.init_random_transformation(
+            lazy_load, anatomy_mask_images=anatomy_mask_images,
+            volume_preserve_tolerance=volume_preserve_tolerance)
+        if n_iter >= 1:
+            self.optimizing_transform(
+                data=data, model=model, init_output=init_output,
+                n_iter=n_iter, optimize_flags=optimize_flags,
+                step_sizes=step_sizes,
+                anatomy_mask_images=anatomy_mask_images,
+                anatomy_reg_weight=anatomy_reg_weight,
+                volume_preserve_tolerance=volume_preserve_tolerance)
+
+        dist, adv_data, adv_output, warped_back_adv_output = \
+            self.calc_adv_consistency_loss(
+                jax.lax.stop_gradient(data), model, init_output=init_output,
+                chain_of_transforms=self.chain_of_transforms)
+
+        self.init_output = init_output
+        self.warped_back_adv_output = warped_back_adv_output
+        self.origin_data = data
+        self.adv_data = adv_data
+        self.adv_predict = adv_output
+        if self.debug:
+            print("[outer loop] loss", float(dist))
+        return dist
+
+    # ----------------------------------------------------- chain apply ops
+    def forward(self, data, chain_of_transforms=None, interp=None,
+                padding_mode=None):
+        """Apply the chain (reference adv_compose_solver.py:148-176)."""
+        data = jax.lax.stop_gradient(data)
+        t_data = data
+        self.diffs = []
+        chain = (self.chain_of_transforms if chain_of_transforms is None
+                 else chain_of_transforms)
+        for transform in chain:
+            t_data = transform.forward(t_data, interp=interp,
+                                       padding_mode=padding_mode)
+            self.diffs.append(transform.diff)
+        if self.if_norm_image:
+            lo = (jnp.min(data) if self.min_intensity is None
+                  else self.min_intensity)
+            hi = (jnp.max(data) if self.max_intensity is None
+                  else self.max_intensity)
+            t_data = jnp.clip(t_data, lo, hi)
+        return t_data
+
+    def predict_forward(self, data, chain_of_transforms=None, interp=None,
+                        padding_mode=None):
+        self.diffs = []
+        chain = (self.chain_of_transforms if chain_of_transforms is None
+                 else chain_of_transforms)
+        for transform in chain:
+            data = transform.predict_forward(data, interp=interp,
+                                             padding_mode=padding_mode)
+            self.diffs.append(transform.diff)
+        return data
+
+    def backward(self, data, chain_of_transforms=None, interp=None,
+                 padding_mode=None):
+        chain = (self.chain_of_transforms if chain_of_transforms is None
+                 else chain_of_transforms)
+        for transform in reversed(chain):
+            data = transform.backward(data, interp=interp,
+                                      padding_mode=padding_mode)
+        return data
+
+    def predict_backward(self, data, chain_of_transforms=None, interp=None,
+                         padding_mode=None):
+        chain = (self.chain_of_transforms if chain_of_transforms is None
+                 else chain_of_transforms)
+        for transform in reversed(chain):
+            data = transform.predict_backward(data, interp=interp,
+                                              padding_mode=padding_mode)
+        return data
+
+    # -------------------------------------------------------------- losses
+    def loss_fn(self, pred, reference, mask=None):
+        return calc_segmentation_consistency(
+            output=pred, reference=reference,
+            divergence_types=self.divergence_types,
+            divergence_weights=self.divergence_weights, scales=[0],
+            mask=mask, class_weights=self.class_weights, is_gt=self.is_gt)
+
+    def calc_adv_consistency_loss(self, data, model, init_output,
+                                  chain_of_transforms=None):
+        """Final consistency loss with the optimized (frozen) chain
+        (reference adv_compose_solver.py:236-279)."""
+        if chain_of_transforms is None:
+            chain_of_transforms = self.chain_of_transforms
+        for tr in chain_of_transforms:
+            tr.eval()
+        adv_data = self.forward(data, chain_of_transforms)
+        adv_output = self.get_net_output(model,
+                                         jax.lax.stop_gradient(adv_data))
+        if self.if_contains_geo_transform(chain_of_transforms):
+            masks = jnp.ones_like(init_output)
+            forward_mask = self.predict_forward(masks, chain_of_transforms)
+            fb_mask = self.predict_backward(forward_mask, chain_of_transforms)
+            warped_back_adv_output = self.predict_backward(
+                adv_output, chain_of_transforms)
+            fb_mask = _binarize_nonzero(fb_mask)
+            dist = self.loss_fn(pred=warped_back_adv_output,
+                                reference=jax.lax.stop_gradient(init_output),
+                                mask=fb_mask)
+        else:
+            warped_back_adv_output = adv_output
+            dist = self.loss_fn(pred=adv_output,
+                                reference=jax.lax.stop_gradient(init_output))
+        return dist, adv_data, adv_output, warped_back_adv_output
+
+    def compute_anatomy_misoverlapping_loss(self, anatomy_mask_images):
+        """Volume-preservation penalty: MSE between the binarized
+        roundtripped anatomy mask and the original
+        (reference adv_compose_solver.py:281-287)."""
+        recovered = self.predict_backward(
+            self.predict_forward(anatomy_mask_images))
+        recovered = jnp.where(recovered >= 0.5, 1.0, 0.0)
+        score = jnp.mean((recovered - anatomy_mask_images) ** 2)
+        if self.debug:
+            print("anatomy preserving error:", float(score))
+        return score
+
+    # ------------------------------------------------- jitted PGD machinery
+    def _functional_chain_state(self):
+        params = tuple(t.param for t in self.chain_of_transforms)
+        train_flags = tuple(bool(t.is_training)
+                            for t in self.chain_of_transforms)
+        return params, train_flags
+
+    def _chain_apply_pure(self, transforms, params, data, train_flags):
+        x = data
+        for t, p, tf in zip(transforms, params, train_flags):
+            x = t.apply(p, x, training=tf)
+        if self.if_norm_image:
+            lo = (jnp.min(data) if self.min_intensity is None
+                  else self.min_intensity)
+            hi = (jnp.max(data) if self.max_intensity is None
+                  else self.max_intensity)
+            x = jnp.clip(x, lo, hi)
+        return x
+
+    def _predict_forward_pure(self, transforms, params, data, train_flags):
+        for t, p, tf in zip(transforms, params, train_flags):
+            data = t.predict_forward_fn(p, data, training=tf)
+        return data
+
+    def _predict_backward_pure(self, transforms, params, data, train_flags):
+        for t, p, tf in reversed(list(zip(transforms, params, train_flags))):
+            data = t.predict_backward_fn(p, data, training=tf)
+        return data
+
+    def _build_pgd_step(self, model, optimize_flags, step_sizes,
+                        use_anatomy: bool, anatomy_reg_weight: float):
+        """One fused PGD iteration as a jitted device program."""
+        transforms = tuple(self.chain_of_transforms)
+        has_geo = self.if_contains_geo_transform()
+        flags = tuple(bool(f) for f in optimize_flags)
+        steps = tuple(float(s) for s in step_sizes)
+        get_output = self.get_net_output
+
+        def pgd_step(params, data, init_output, anatomy_mask):
+            train_flags = flags  # flagged transforms are in training mode
+
+            def dist_fn(opt_params):
+                full = []
+                it = iter(opt_params)
+                for p, f in zip(params, flags):
+                    full.append(next(it) if f else p)
+                full = tuple(full)
+                aug = self._chain_apply_pure(transforms, full, data,
+                                             train_flags)
+                perturbed = get_output(model, aug)
+                if has_geo:
+                    warped_back = self._predict_backward_pure(
+                        transforms, full, perturbed, train_flags)
+                    ones = jnp.ones_like(init_output)
+                    fb_mask = self._predict_backward_pure(
+                        transforms, full,
+                        self._predict_forward_pure(transforms, full, ones,
+                                                   train_flags),
+                        train_flags)
+                    fb_mask = _binarize_nonzero(fb_mask)
+                    dist = self.loss_fn(pred=warped_back,
+                                        reference=init_output, mask=fb_mask)
+                    if use_anatomy:
+                        rec = self._predict_backward_pure(
+                            transforms, full,
+                            self._predict_forward_pure(
+                                transforms, full, anatomy_mask, train_flags),
+                            train_flags)
+                        rec = jnp.where(rec >= 0.5, 1.0, 0.0)
+                        reg = anatomy_reg_weight * jnp.mean(
+                            (rec - anatomy_mask) ** 2)
+                        dist = dist + reg
+                else:
+                    dist = self.loss_fn(
+                        pred=perturbed,
+                        reference=jax.lax.stop_gradient(init_output))
+                return dist
+
+            opt_params = tuple(p for p, f in zip(params, flags) if f)
+            dist, grads = jax.value_and_grad(dist_fn)(opt_params)
+            ok = jnp.isfinite(dist)
+            new_params = []
+            git = iter(grads)
+            sit = iter(steps)
+            for t, p, f in zip(transforms, params, flags):
+                if f:
+                    g = next(git)
+                    s = next(sit)
+                    updated = t.update(p, g, s)
+                    new_params.append(jnp.where(ok, updated, p))
+                else:
+                    next(sit, None)
+                    new_params.append(p)
+            return tuple(new_params), dist
+
+        return jax.jit(pgd_step)
+
+    def _get_pgd_step(self, model, optimize_flags, step_sizes, use_anatomy,
+                      anatomy_reg_weight, data_shape):
+        key = (id(model), tuple(optimize_flags), tuple(step_sizes),
+               bool(use_anatomy), float(anatomy_reg_weight),
+               tuple(data_shape),
+               tuple(t.power_iteration for t in self.chain_of_transforms),
+               tuple(type(t).__name__ for t in self.chain_of_transforms))
+        if key not in self._step_cache:
+            self._step_cache[key] = self._build_pgd_step(
+                model, optimize_flags, step_sizes, use_anatomy,
+                anatomy_reg_weight)
+        return self._step_cache[key]
+
+    def optimizing_transform(self, model, data, init_output, optimize_flags,
+                             n_iter: int = 1, step_sizes=None,
+                             anatomy_mask_images=None,
+                             anatomy_reg_weight: float = 50,
+                             volume_preserve_tolerance: float = 5e-4):
+        """Inner PGD loop; host drives the jitted step and handles the
+        volume-preserving graduated fallback
+        (reference adv_compose_solver.py:289-405)."""
+        if step_sizes is None:
+            step_sizes = [1.0] * len(self.chain_of_transforms)
+        data = jax.lax.stop_gradient(data)
+        use_anatomy = anatomy_mask_images is not None and \
+            abs(anatomy_reg_weight) > 1e-32
+        anatomy_arg = (anatomy_mask_images if use_anatomy
+                       else jnp.zeros_like(data))
+        step_fn = self._get_pgd_step(model, optimize_flags, step_sizes,
+                                     use_anatomy, anatomy_reg_weight,
+                                     data.shape)
+
+        self.make_learnable_transformation(optimize_flags)
+        params = list(t.param for t in self.chain_of_transforms)
+        one_time_iter = n_iter
+        i_iter = 0
+        stop_flag = n_iter <= 0
+        while not stop_flag:
+            i_iter += 1
+            params_t, dist = step_fn(tuple(params), data, init_output,
+                                     anatomy_arg)
+            params = list(params_t)
+            if self.debug:
+                print(f"[inner loop], step {i_iter}: dist {float(dist)}")
+            if i_iter == n_iter:
+                # write back, project, freeze (reference :369-375)
+                for flag, t, p in zip(optimize_flags,
+                                      self.chain_of_transforms, params):
+                    t.param = jax.lax.stop_gradient(p)
+                    if flag:
+                        t.rescale_parameters()
+                        t.eval()
+                params = [t.param for t in self.chain_of_transforms]
+                if self.if_contains_geo_transform() and use_anatomy:
+                    mis = float(self.compute_anatomy_misoverlapping_loss(
+                        anatomy_mask_images))
+                    if abs(mis) <= volume_preserve_tolerance:
+                        stop_flag = True
+                    elif i_iter >= 3 * one_time_iter:
+                        stop_flag = True
+                        logger.warning(
+                            "optimization time is 3X longer than expected, "
+                            "use random initialized one instead; consider "
+                            "narrowing the affine search space or a smaller "
+                            "step size")
+                        self.init_random_transformation(
+                            anatomy_mask_images=anatomy_mask_images,
+                            volume_preserve_tolerance=volume_preserve_tolerance)
+                    else:
+                        if i_iter == 2 * one_time_iter:
+                            self.init_random_transformation(
+                                anatomy_mask_images=anatomy_mask_images,
+                                volume_preserve_tolerance=volume_preserve_tolerance)
+                            n_iter += one_time_iter
+                            logger.warning(
+                                "volume not preserved; continuing search "
+                                "with a new initialization")
+                        else:
+                            n_iter += 1
+                            logger.warning(
+                                "volume not preserved; continuing search "
+                                "with one more step")
+                        self.make_learnable_transformation(optimize_flags)
+                        params = [t.param for t in self.chain_of_transforms]
+                else:
+                    stop_flag = True
+        # final write-back (no-op if loop wrote back already)
+        for t, p in zip(self.chain_of_transforms, params):
+            t.param = jax.lax.stop_gradient(p)
+        return self.chain_of_transforms
+
+    # ----------------------------------------------------------- utilities
+    def rescale_intensity(self, data, new_min=0, new_max=1, eps=1e-20):
+        """Per-sample min-max rescale (reference adv_compose_solver.py:407)."""
+        n = data.shape[0]
+        flat = data.reshape(n, -1)
+        old_max = jnp.max(flat, axis=1, keepdims=True)
+        old_min = jnp.min(flat, axis=1, keepdims=True)
+        new = (flat - old_min + eps) / (old_max - old_min + eps) \
+            * (new_max - new_min) + new_min
+        return new.reshape(data.shape)
+
+    def get_net_output(self, model, data):
+        return model(data)
+
+    def get_init_output(self, model, data):
+        return jax.lax.stop_gradient(self.get_net_output(model, data))
+
+    def get_adv_data(self, data, model, init_output=None, n_iter: int = 0,
+                     optimize_flags=None, step_sizes=None,
+                     anatomy_mask_images=None, anatomy_reg_weight: float = 50,
+                     volume_preserve_tolerance: float = 5e-4):
+        """Return (augmented_data, augmented_label) pseudo-label pairs
+        (reference adv_compose_solver.py:435-463)."""
+        if hasattr(model, "begin_episode"):
+            model.begin_episode()
+        if init_output is None:
+            init_output = self.get_init_output(model, data)
+        if optimize_flags is None:
+            optimize_flags = [True] * len(self.chain_of_transforms)
+        if step_sizes is None:
+            step_sizes = [1.0] * len(self.chain_of_transforms)
+        self.init_random_transformation(
+            lazy_load=False, anatomy_mask_images=anatomy_mask_images,
+            volume_preserve_tolerance=volume_preserve_tolerance)
+        origin_data = jax.lax.stop_gradient(data)
+        if n_iter > 0:
+            self.optimizing_transform(
+                data=data, model=model, init_output=init_output,
+                n_iter=n_iter, optimize_flags=optimize_flags,
+                step_sizes=step_sizes,
+                anatomy_mask_images=anatomy_mask_images,
+                anatomy_reg_weight=anatomy_reg_weight,
+                volume_preserve_tolerance=volume_preserve_tolerance)
+        augmented_data = self.forward(origin_data)
+        augmented_label = self.predict_forward(init_output)
+        return augmented_data, augmented_label
+
+    def if_contains_geo_transform(self, chain_of_transforms=None):
+        chain = (self.chain_of_transforms if chain_of_transforms is None
+                 else chain_of_transforms)
+        return sum(t.is_geometric() for t in chain) > 0
+
+    def init_random_transformation(self, lazy_load: bool = False,
+                                   anatomy_mask_images=None,
+                                   volume_preserve_tolerance: float = 5e-4):
+        """Random init; geometric transforms rejection-sample under the
+        anatomy constraint, <=10 tries (reference :479-500)."""
+        for transform in self.chain_of_transforms:
+            if lazy_load:
+                if transform.param is None:
+                    transform.init_parameters()
+            else:
+                transform.init_parameters()
+            if transform.is_geometric() == 1 and anatomy_mask_images is not None:
+                i_iter = 0
+                while float(self.compute_anatomy_misoverlapping_loss(
+                        anatomy_mask_images)) > volume_preserve_tolerance:
+                    transform.init_parameters()
+                    i_iter += 1
+                    if i_iter > 10:
+                        logger.warning(
+                            "random initialization: fail to find a good "
+                            "initialized geo transformation in the given "
+                            "range; reduce the search space or increase the "
+                            "tolerance factor")
+                        break
+
+    def reset_transformation(self, anatomy_mask_images=None,
+                             volume_preserve_tolerance: float = 5e-4):
+        self.init_random_transformation(
+            lazy_load=False, anatomy_mask_images=anatomy_mask_images,
+            volume_preserve_tolerance=volume_preserve_tolerance)
+
+    def set_transformation(self, parameter_list):
+        for i, param in enumerate(parameter_list):
+            self.chain_of_transforms[i].set_parameters(param)
+
+    def get_transformation_parameters(self):
+        return [t.get_parameters() for t in self.chain_of_transforms]
+
+    def train(self):
+        for transform in self.chain_of_transforms:
+            transform.train()
+
+    def eval(self):
+        for transform in self.chain_of_transforms:
+            transform.eval()
+
+    def make_learnable_transformation(self, optimize_flags,
+                                      chain_of_transforms=None):
+        chain = (self.chain_of_transforms if chain_of_transforms is None
+                 else chain_of_transforms)
+        for flag, transform in zip(optimize_flags, chain):
+            if flag:
+                transform.train()
+
+    # ------------------------------------------------------------ internals
+    def _normalize_flags(self, optimize_flags, n_iter):
+        if optimize_flags is not None:
+            assert len(self.chain_of_transforms) == len(optimize_flags), (
+                f"must specify each transform is learnable or not, expect "
+                f"{len(self.chain_of_transforms)} flags, "
+                f"but got {optimize_flags}")
+            return list(optimize_flags)
+        if n_iter == 0:
+            return [False] * len(self.chain_of_transforms)
+        if n_iter > 0:
+            return [True] * len(self.chain_of_transforms)
+        raise NotImplementedError("n_iter must be >= 0")
+
+    def _apply_power_iteration_setting(self, power_iteration):
+        if isinstance(power_iteration, bool):
+            powers = [power_iteration] * len(self.chain_of_transforms)
+        elif isinstance(power_iteration, list):
+            assert len(self.chain_of_transforms) == len(power_iteration), \
+                "must specify each transform optimization mode"
+            powers = power_iteration
+        elif isinstance(power_iteration, str):
+            assert power_iteration == "smart", \
+                f"unknown power_iteration mode {power_iteration!r}"
+            powers = [t.get_name() == "noise"
+                      for t in self.chain_of_transforms]
+        else:
+            raise NotImplementedError(
+                f"power_iteration must be bool/list/'smart', "
+                f"got {power_iteration!r}")
+        for t, p in zip(self.chain_of_transforms, powers):
+            t.power_iteration = p
+
+    def _normalize_step_sizes(self, step_sizes):
+        if step_sizes is None:
+            return [1.0] * len(self.chain_of_transforms)
+        if isinstance(step_sizes, (int, float)):
+            return [float(step_sizes)] * len(self.chain_of_transforms)
+        if isinstance(step_sizes, list):
+            assert len(step_sizes) == len(self.chain_of_transforms), \
+                "specify step size for each transformation"
+            return [float(s) for s in step_sizes]
+        raise ValueError(
+            "please use scalar or a list of scalars to set step size")

@@ -123,7 +123,7 @@ class AdvMorph(AdvTransformBase):
         dxy, disp = self.get_deformation_displacement_field(
             self._duv(params, training))
         dxy = jnp.clip(dxy, -1.0, 1.0)
-        self.displacement = disp
+        self._stash("displacement", disp)
         return self.transform(data, dxy, interp=interp,
                               padding_mode=padding_mode)
 

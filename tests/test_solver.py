@@ -1,0 +1,222 @@
+"""Tests for ComposeAdversarialTransformSolver: PGD ascent, geometric mask
+roundtrips, pseudo-label generation, fallbacks, NaN guard.
+
+The "segmentation model" is a frozen two-layer conv net (pure closure) —
+the JAX equivalent of the reference's fixed-network inner-loop contract.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from advchain_tpu import ops
+from advchain_tpu.augmentor import (AdvAffine, AdvBias, AdvMorph, AdvNoise,
+                                    ComposeAdversarialTransformSolver)
+
+SIZE = [2, 1, 32, 32]
+
+
+def make_model(seed=0, num_classes=4):
+    r = np.random.RandomState(seed)
+    w1 = jnp.asarray(r.randn(8, 1, 3, 3).astype(np.float32) * 0.5)
+    w2 = jnp.asarray(r.randn(num_classes, 8, 3, 3).astype(np.float32) * 0.5)
+
+    def model(x):
+        h = jnp.tanh(ops.conv_same(x, w1))
+        return ops.conv_same(h, w2)
+
+    return model
+
+
+def make_data(seed=1):
+    r = np.random.RandomState(seed)
+    ii, jj = np.meshgrid(np.arange(32), np.arange(32), indexing="ij")
+    img = np.exp(-(((ii - 16) / 7.0) ** 2 + ((jj - 16) / 6.0) ** 2))
+    x = np.stack([img, img.T])[:, None].astype(np.float32)
+    return jnp.asarray(x + 0.05 * r.rand(*SIZE).astype(np.float32))
+
+
+def full_chain(seed=0):
+    return [
+        AdvNoise(config_dict={"epsilon": 0.1, "xi": 1e-6, "data_size": SIZE},
+                 seed=seed),
+        AdvBias(config_dict={"epsilon": 0.3, "control_point_spacing": [16, 16],
+                             "downscale": 2, "data_size": SIZE,
+                             "interpolation_order": 3, "init_mode": "random",
+                             "space": "log"}, seed=seed + 1),
+        AdvAffine(config_dict={"rot": 0.1, "scale_x": 0.1, "scale_y": 0.1,
+                               "shift_x": 0.1, "shift_y": 0.1,
+                               "data_size": SIZE}, seed=seed + 2),
+        AdvMorph(config_dict={"epsilon": 1.0, "data_size": SIZE,
+                              "vector_size": [8, 8]}, seed=seed + 3),
+    ]
+
+
+def test_adversarial_training_returns_finite_loss_and_stashes():
+    solver = ComposeAdversarialTransformSolver(
+        chain_of_transforms=full_chain(),
+        divergence_types=["mse", "contour"], divergence_weights=[1.0, 0.5])
+    model = make_model()
+    data = make_data()
+    dist = solver.adversarial_training(data=data, model=model, n_iter=1)
+    assert np.isfinite(float(dist))
+    assert solver.adv_data.shape == tuple(SIZE)
+    assert solver.init_output.shape == (2, 4, 32, 32)
+    assert solver.warped_back_adv_output.shape == (2, 4, 32, 32)
+
+
+def test_pgd_increases_divergence_photometric():
+    """PGD ascent on a frozen net increases the consistency loss
+    (SURVEY.md section 4 implied invariant)."""
+    chain = [AdvNoise(config_dict={"epsilon": 0.5, "xi": 1e-6,
+                                   "data_size": SIZE}, seed=4)]
+    solver = ComposeAdversarialTransformSolver(
+        chain_of_transforms=chain, divergence_types=["mse"],
+        divergence_weights=[1.0])
+    model = make_model()
+    data = make_data()
+    init_output = solver.get_init_output(model, data)
+    solver.init_random_transformation()
+    d0 = float(solver.calc_adv_consistency_loss(data, model, init_output)[0])
+    solver.optimizing_transform(model=model, data=data,
+                                init_output=init_output,
+                                optimize_flags=[True], n_iter=3,
+                                step_sizes=[1.0])
+    d1 = float(solver.calc_adv_consistency_loss(data, model, init_output)[0])
+    assert d1 > d0, (d0, d1)
+
+
+def test_pgd_increases_divergence_geometric():
+    chain = [AdvAffine(config_dict={"rot": 0.15, "scale_x": 0.1,
+                                    "scale_y": 0.1, "shift_x": 0.1,
+                                    "shift_y": 0.1, "data_size": SIZE},
+                       seed=5)]
+    solver = ComposeAdversarialTransformSolver(
+        chain_of_transforms=chain, divergence_types=["mse"],
+        divergence_weights=[1.0])
+    model = make_model()
+    data = make_data()
+    init_output = solver.get_init_output(model, data)
+    solver.init_random_transformation()
+    d0 = float(solver.calc_adv_consistency_loss(data, model, init_output)[0])
+    solver.optimizing_transform(model=model, data=data,
+                                init_output=init_output,
+                                optimize_flags=[True], n_iter=3,
+                                step_sizes=[0.1])
+    d1 = float(solver.calc_adv_consistency_loss(data, model, init_output)[0])
+    assert d1 > d0, (d0, d1)
+
+
+def test_get_adv_data_photometric_labels_unchanged():
+    chain = [AdvNoise(config_dict={"epsilon": 0.2, "xi": 1e-6,
+                                   "data_size": SIZE}, seed=6)]
+    solver = ComposeAdversarialTransformSolver(chain_of_transforms=chain)
+    model = make_model()
+    data = make_data()
+    aug, lab = solver.get_adv_data(data, model, n_iter=0)
+    init_output = solver.get_init_output(model, data)
+    # photometric transforms leave predictions untouched
+    np.testing.assert_allclose(np.asarray(lab), np.asarray(init_output),
+                               atol=1e-6)
+    assert not np.allclose(np.asarray(aug), np.asarray(data))
+
+
+def test_get_adv_data_geometric_labels_warped():
+    chain = [AdvAffine(config_dict={"rot": 0.2, "scale_x": 0.1,
+                                    "scale_y": 0.1, "shift_x": 0.2,
+                                    "shift_y": 0.2, "data_size": SIZE},
+                       seed=7)]
+    solver = ComposeAdversarialTransformSolver(chain_of_transforms=chain)
+    model = make_model()
+    data = make_data()
+    aug, lab = solver.get_adv_data(data, model, n_iter=1)
+    init_output = solver.get_init_output(model, data)
+    assert not np.allclose(np.asarray(lab), np.asarray(init_output))
+
+
+def test_smart_power_iteration_flags():
+    solver = ComposeAdversarialTransformSolver(
+        chain_of_transforms=full_chain())
+    solver._apply_power_iteration_setting("smart")
+    flags = [t.power_iteration for t in solver.chain_of_transforms]
+    assert flags == [True, False, False, False]
+
+
+def test_set_transformation_roundtrip():
+    solver = ComposeAdversarialTransformSolver(
+        chain_of_transforms=full_chain())
+    solver.init_random_transformation()
+    params = solver.get_transformation_parameters()
+    solver.init_random_transformation()
+    solver.set_transformation(params)
+    for p, t in zip(params, solver.chain_of_transforms):
+        np.testing.assert_array_equal(np.asarray(p), np.asarray(t.param))
+
+
+def test_forward_backward_norm_image():
+    solver = ComposeAdversarialTransformSolver(
+        chain_of_transforms=full_chain(), if_norm_image=True,
+        min_intensity=0.0, max_intensity=1.0)
+    solver.init_random_transformation()
+    out = solver.forward(make_data())
+    assert float(jnp.min(out)) >= 0.0 and float(jnp.max(out)) <= 1.0
+
+
+def test_nan_guard_keeps_params():
+    """A model emitting NaN must not poison the transform parameters
+    (reference adv_compose_solver.py:345-346)."""
+    chain = [AdvNoise(config_dict={"epsilon": 0.2, "xi": 1e-6,
+                                   "data_size": SIZE}, seed=8)]
+    solver = ComposeAdversarialTransformSolver(
+        chain_of_transforms=chain, divergence_types=["mse"],
+        divergence_weights=[1.0])
+
+    def nan_model(x):
+        return jnp.full((x.shape[0], 4) + x.shape[2:], jnp.nan)
+
+    data = make_data()
+    solver.init_random_transformation()
+    p0 = np.asarray(solver.chain_of_transforms[0].param)
+    init_output = nan_model(data)
+    solver.optimizing_transform(model=nan_model, data=data,
+                                init_output=init_output,
+                                optimize_flags=[True], n_iter=1,
+                                step_sizes=[1.0])
+    p1 = np.asarray(solver.chain_of_transforms[0].param)
+    assert np.isfinite(p1).all()
+    # update skipped; only the final projection's float wobble remains
+    np.testing.assert_allclose(p0, p1, atol=1e-6)
+
+
+def test_anatomy_constrained_search_terminates():
+    chain = [AdvAffine(config_dict={"rot": 0.02, "scale_x": 0.02,
+                                    "scale_y": 0.02, "shift_x": 0.02,
+                                    "shift_y": 0.02, "data_size": SIZE},
+                       seed=9)]
+    solver = ComposeAdversarialTransformSolver(
+        chain_of_transforms=chain, divergence_types=["mse"],
+        divergence_weights=[1.0])
+    model = make_model()
+    data = make_data()
+    mask = np.zeros(SIZE, np.float32)
+    mask[:, :, 12:20, 12:20] = 1.0
+    dist = solver.adversarial_training(
+        data=data, model=model, n_iter=1,
+        anatomy_mask_images=jnp.asarray(mask), anatomy_reg_weight=50,
+        volume_preserve_tolerance=5e-4)
+    assert np.isfinite(float(dist))
+
+
+def test_step_cache_reused():
+    chain = [AdvNoise(config_dict={"epsilon": 0.2, "xi": 1e-6,
+                                   "data_size": SIZE}, seed=10)]
+    solver = ComposeAdversarialTransformSolver(
+        chain_of_transforms=chain, divergence_types=["mse"],
+        divergence_weights=[1.0])
+    model = make_model()
+    data = make_data()
+    for _ in range(3):
+        solver.adversarial_training(data=data, model=model, n_iter=1)
+    assert len(solver._step_cache) == 1
