@@ -1,0 +1,14 @@
+"""Flax model zoo (UNet family) + torch checkpoint conversion."""
+
+from advchain_tpu.models.unet import (
+    UNet, UNetv2, DeeplySupervisedUNet, PseudoConv3dModel,
+    DoubleConv, Down, Up, OutConv, SelfAttn2d,
+)
+from advchain_tpu.models.wrapper import SegmentationModel
+from advchain_tpu.models.convert import get_unet_model, torch_unet_state_to_flax
+
+__all__ = [
+    "UNet", "UNetv2", "DeeplySupervisedUNet", "PseudoConv3dModel",
+    "DoubleConv", "Down", "Up", "OutConv", "SelfAttn2d",
+    "SegmentationModel", "get_unet_model", "torch_unet_state_to_flax",
+]

@@ -1,0 +1,106 @@
+"""SegmentationModel — binds a Flax module to params/batch-stats and
+implements the solver's fixed-network contract.
+
+Reference semantics being reproduced (SURVEY.md section 2 rows 8-9):
+``_disable_tracking_bn_stats`` makes BatchNorm use *batch* statistics while
+leaving running stats untouched (common/utils.py:114-147), and Fixable
+dropout replays the same mask across the PGD inner loop
+(common/layers.py:5-63).  Here: ``__call__`` runs ``train=True`` with
+``mutable=False`` (batch stats used, never written) and a dropout rng that
+stays constant until ``begin_episode`` draws a new one — the solver calls
+that once per ``adversarial_training`` invocation.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+
+
+class SegmentationModel:
+    """Callable ``model(x) -> logits`` for the compose solver, plus
+    training/inference entry points for user loops."""
+
+    def __init__(self, module, params, batch_stats=None, rng=None,
+                 use_batch_stats_in_solver: bool = True):
+        self.module = module
+        self.params = params
+        self.batch_stats = batch_stats or {}
+        self._base_rng = rng if rng is not None else jax.random.PRNGKey(0)
+        self._episode_rng = self._base_rng
+        self.use_batch_stats_in_solver = use_batch_stats_in_solver
+        # jit once per (train-mode, structure); params/rng are traced args so
+        # episodes and updated weights reuse the same executable
+        self._jit_apply = jax.jit(
+            lambda v, x, rng: self.module.apply(
+                v, x, train=True, rngs={"dropout": rng}, mutable=False))
+        self._jit_predict = jax.jit(
+            lambda v, x: self.module.apply(v, x, train=False, mutable=False))
+
+    # -------------------------------------------------------- construction
+    @classmethod
+    def create(cls, module, input_shape, rng=None, train: bool = False):
+        """Initialize parameters from a sample input shape (NCHW/NCDHW)."""
+        rng = rng if rng is not None else jax.random.PRNGKey(0)
+        k_params, k_drop, k_rest = jax.random.split(rng, 3)
+        variables = module.init({"params": k_params, "dropout": k_drop},
+                                jnp.zeros(input_shape, jnp.float32),
+                                train=False)
+        return cls(module, variables["params"],
+                   variables.get("batch_stats"), rng=k_rest)
+
+    def _variables(self):
+        v = {"params": self.params}
+        if self.batch_stats:
+            v["batch_stats"] = self.batch_stats
+        return v
+
+    # ------------------------------------------------------ solver contract
+    def begin_episode(self, key=None):
+        """Redraw the fixed dropout mask for a new adversarial episode."""
+        if key is None:
+            self._base_rng, key = jax.random.split(self._base_rng)
+        self._episode_rng = key
+
+    def __call__(self, x):
+        """Frozen-network forward: BN batch statistics (not written back),
+        dropout active with the episode-fixed rng.
+
+        When called inside an outer jit trace (the solver's fused PGD step),
+        fall through to the plain apply so the op inlines into the caller's
+        program instead of nesting jits."""
+        if isinstance(x, jax.core.Tracer):
+            return self.module.apply(
+                self._variables(), x, train=self.use_batch_stats_in_solver,
+                rngs={"dropout": self._episode_rng}, mutable=False)
+        return self._jit_apply(self._variables(), x, self._episode_rng)
+
+    # --------------------------------------------------------- user loops
+    def predict(self, x):
+        """Inference: running-average BN, no dropout."""
+        if isinstance(x, jax.core.Tracer):
+            return self.module.apply(self._variables(), x, train=False,
+                                     mutable=False)
+        return self._jit_predict(self._variables(), x)
+
+    def apply_train(self, params, batch_stats, x, dropout_rng):
+        """Pure training-mode apply returning (logits, new_batch_stats);
+        use inside jitted train steps."""
+        variables = {"params": params}
+        if batch_stats:
+            variables["batch_stats"] = batch_stats
+        out, mutated = self.module.apply(
+            variables, x, train=True, rngs={"dropout": dropout_rng},
+            mutable=["batch_stats"])
+        return out, mutated.get("batch_stats", batch_stats)
+
+    def replace(self, params=None, batch_stats=None):
+        m = SegmentationModel(self.module,
+                              params if params is not None else self.params,
+                              batch_stats if batch_stats is not None
+                              else self.batch_stats,
+                              rng=self._base_rng)
+        m._episode_rng = self._episode_rng
+        return m
