@@ -250,6 +250,18 @@ class ComposeAdversarialTransformSolver:
     def _build_pgd_step(self, model, optimize_flags, step_sizes,
                         use_anatomy: bool, anatomy_reg_weight: float):
         """One fused PGD iteration as a jitted device program."""
+        return jax.jit(self.build_pgd_step_fn(
+            model, optimize_flags, step_sizes, use_anatomy,
+            anatomy_reg_weight))
+
+    def build_pgd_step_fn(self, model, optimize_flags, step_sizes,
+                          use_anatomy: bool = False,
+                          anatomy_reg_weight: float = 50.0):
+        """The raw (un-jitted) PGD iteration — importable into larger
+        traced programs (the fully-fused adversarial train step in
+        advchain_tpu.parallel.train).  ``model`` may be any traceable
+        callable ``model(x) -> logits``, including a closure over the
+        current training step's parameters."""
         transforms = tuple(self.chain_of_transforms)
         has_geo = self.if_contains_geo_transform()
         flags = tuple(bool(f) for f in optimize_flags)
@@ -313,7 +325,7 @@ class ComposeAdversarialTransformSolver:
                     new_params.append(p)
             return tuple(new_params), dist
 
-        return jax.jit(pgd_step)
+        return pgd_step
 
     def _get_pgd_step(self, model, optimize_flags, step_sizes, use_anatomy,
                       anatomy_reg_weight, data_shape):

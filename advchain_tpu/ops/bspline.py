@@ -97,6 +97,22 @@ def make_bspline_field_spec(image_size, control_point_spacing, downscale: int,
     crop_end = diff_floor
     kernel = bspline_kernel(stride.tolist(), order=order, spatial_dims=dims)
     padding = tuple((np.array(kernel.shape) - 1) // 2)
+    # early geometry validation: the reference's crop/resize arithmetic only
+    # resizes UP (adv_bias.py:316-327); if the cropped field comes out larger
+    # than image/downscale the multiply crashes at runtime (a latent
+    # reference quirk for some spacing/order combos, e.g. order<=2 with
+    # small grids).  Fail fast with an actionable message instead.
+    conv_out = (cp_grid - 1) * stride + np.array(kernel.shape) - 2 * np.array(padding)
+    field = conv_out - (stride + crop_start.astype(int)) - (stride + crop_end.astype(int))
+    target = np.ceil(img / float(downscale)).astype(int)
+    if np.any(field > target):
+        raise ValueError(
+            f"inconsistent B-spline geometry: cropped field {tuple(field)} "
+            f"exceeds image/downscale {tuple(target)} for "
+            f"control_point_spacing={tuple(int(s) for s in control_point_spacing)}, "
+            f"downscale={downscale}, order={order}, image={image_size}; "
+            f"use interpolation_order=3 or a larger spacing (the reference "
+            f"crashes at runtime on these configs)")
     return BSplineFieldSpec(
         spatial_dims=dims,
         image_size=image_size,

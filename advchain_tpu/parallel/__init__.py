@@ -1,0 +1,13 @@
+"""TPU scale-out: device meshes, sharded batches, fused train steps."""
+
+from advchain_tpu.parallel.mesh import (make_mesh, shard_batch,
+                                        replicate_to_mesh)
+from advchain_tpu.parallel.train import (TrainState,
+                                         make_adversarial_train_step,
+                                         make_supervised_train_step)
+
+__all__ = [
+    "make_mesh", "shard_batch", "replicate_to_mesh",
+    "TrainState", "make_adversarial_train_step",
+    "make_supervised_train_step",
+]

@@ -1,0 +1,166 @@
+"""Headline benchmark: adversarial chain training step throughput.
+
+Workload (BASELINE.md config #2): 192x192 cardiac images, 4-transform chain
+(noise -> bias -> affine -> morph), 1-step PGD maximizing ['mse','contour']
+consistency against the trained UNet_16 checkpoint, then the final
+consistency pass — i.e. one full ``adversarial_training`` call.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+``vs_baseline`` is measured against the PyTorch reference implementation
+running the same workload on CPU (the reference's only runnable target in
+this container; it has no published numbers — BASELINE.md).  Set
+ADVCHAIN_BENCH_SKIP_TORCH=1 to skip the baseline re-measurement and use the
+recorded constant.
+"""
+
+import json
+import os
+import sys
+import time
+import types
+
+import numpy as np
+
+BATCH = 16
+SHAPE = (192, 192)
+N_ITER = 1
+REPEATS = 5
+# torch-CPU reference throughput measured on this container (img/s) for the
+# same workload at batch 4; re-measured live unless skipped.
+RECORDED_TORCH_CPU_IMGS_PER_SEC = None
+
+CKPT = "/root/reference/example/saved_checkpoints/cardiac_seg_unet_16.pth"
+
+
+def make_image(batch, shape):
+    ii, jj = np.meshgrid(np.arange(shape[0]), np.arange(shape[1]),
+                         indexing="ij")
+    img = (np.exp(-(((ii - 96) / 30.0) ** 2 + ((jj - 96) / 24.0) ** 2))
+           + 0.3 * np.exp(-(((ii - 60) / 15.0) ** 2
+                            + ((jj - 120) / 12.0) ** 2)))
+    r = np.random.RandomState(0)
+    x = np.broadcast_to(img, (batch, 1) + shape).copy()
+    return (x + 0.05 * r.rand(batch, 1, *shape)).astype(np.float32)
+
+
+def chain_configs(batch, shape):
+    size = [batch, 1, *shape]
+    return {
+        "noise": {"epsilon": 1.0, "xi": 1e-6, "data_size": size},
+        "bias": {"epsilon": 0.3, "control_point_spacing": [48, 48],
+                 "downscale": 2, "data_size": size,
+                 "interpolation_order": 3, "init_mode": "random",
+                 "space": "log"},
+        "affine": {"rot": 30.0 / 180.0, "scale_x": 0.2, "scale_y": 0.2,
+                   "shift_x": 0.1, "shift_y": 0.1, "data_size": size},
+        "morph": {"epsilon": 1.5, "data_size": size,
+                  "vector_size": [shape[0] // 16, shape[1] // 16]},
+    }
+
+
+def bench_tpu():
+    import jax
+    import jax.numpy as jnp
+    from advchain_tpu.augmentor import (AdvAffine, AdvBias, AdvMorph,
+                                        AdvNoise,
+                                        ComposeAdversarialTransformSolver)
+    from advchain_tpu.models import get_unet_model
+
+    cfg = chain_configs(BATCH, SHAPE)
+    chain = [
+        AdvNoise(config_dict=cfg["noise"]),
+        AdvBias(config_dict=cfg["bias"]),
+        AdvAffine(config_dict=cfg["affine"]),
+        AdvMorph(config_dict=cfg["morph"]),
+    ]
+    solver = ComposeAdversarialTransformSolver(
+        chain_of_transforms=chain, divergence_types=["mse", "contour"],
+        divergence_weights=[1.0, 0.5])
+    model = get_unet_model(CKPT, num_classes=4, model_arch="UNet_16")
+    data = jnp.asarray(make_image(BATCH, SHAPE))
+
+    def once():
+        d = solver.adversarial_training(
+            data=data, model=model, n_iter=N_ITER,
+            power_iteration="smart", step_sizes=1.0)
+        jax.block_until_ready(d)
+        return d
+
+    once()  # compile
+    t0 = time.perf_counter()
+    for _ in range(REPEATS):
+        once()
+    dt = (time.perf_counter() - t0) / REPEATS
+    return BATCH / dt, dt
+
+
+def bench_torch_reference():
+    """Run the reference implementation itself on CPU (same workload)."""
+    if "SimpleITK" not in sys.modules:
+        sys.modules["SimpleITK"] = types.ModuleType("SimpleITK")
+    sys.path.insert(0, "/root/reference")
+    try:
+        import torch
+        torch.set_num_threads(os.cpu_count() or 8)
+        from advchain.augmentor.adv_affine import AdvAffine
+        from advchain.augmentor.adv_bias import AdvBias
+        from advchain.augmentor.adv_morph import AdvMorph
+        from advchain.augmentor.adv_noise import AdvNoise
+        from advchain.augmentor.adv_compose_solver import \
+            ComposeAdversarialTransformSolver
+        from advchain.models.unet import UNet
+
+        b = 4  # CPU-friendly batch; normalize per-image
+        cfg = chain_configs(b, SHAPE)
+        dev = torch.device("cpu")
+        chain = [
+            AdvNoise(config_dict=cfg["noise"], use_gpu=False, device=dev),
+            AdvBias(config_dict=cfg["bias"], use_gpu=False, device=dev),
+            AdvAffine(config_dict=cfg["affine"], use_gpu=False, device=dev),
+            AdvMorph(config_dict=cfg["morph"], use_gpu=False, device=dev),
+        ]
+        solver = ComposeAdversarialTransformSolver(
+            chain_of_transforms=chain,
+            divergence_types=["mse", "contour"],
+            divergence_weights=[1.0, 0.5], use_gpu=False)
+        model = UNet(input_channel=1, num_classes=4, feature_scale=4)
+        model.load_state_dict(torch.load(CKPT, map_location="cpu"))
+        model.to(dev)
+        data = torch.from_numpy(make_image(b, SHAPE))
+
+        def once():
+            solver.adversarial_training(
+                data=data, model=model, n_iter=N_ITER,
+                power_iteration="smart", step_sizes=1.0)
+
+        once()  # warm caches
+        reps = 2
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            once()
+        dt = (time.perf_counter() - t0) / reps
+        return b / dt
+    finally:
+        sys.path.pop(0)
+
+
+def main():
+    imgs_per_sec, step_latency = bench_tpu()
+    baseline = RECORDED_TORCH_CPU_IMGS_PER_SEC
+    if os.environ.get("ADVCHAIN_BENCH_SKIP_TORCH") != "1" or baseline is None:
+        try:
+            baseline = bench_torch_reference()
+        except Exception as e:  # baseline failure must not kill the bench
+            print(f"# torch reference baseline failed: {e}", file=sys.stderr)
+            baseline = None
+    vs = (imgs_per_sec / baseline) if baseline else float("nan")
+    print(json.dumps({
+        "metric": "adv_chain_train_images_per_sec_192px_4tf_pgd1",
+        "value": round(imgs_per_sec, 2),
+        "unit": "images/sec/chip",
+        "vs_baseline": round(vs, 2) if vs == vs else None,
+    }))
+
+
+if __name__ == "__main__":
+    main()

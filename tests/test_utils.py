@@ -1,0 +1,144 @@
+"""Utils tests: NRRD/NIfTI readers (vs real reference data + synthetic
+golden files), load_image_label, random_chain, RandAugment capture/replay."""
+
+import gzip
+import struct
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from advchain_tpu.utils import (load_image_label, random_chain, read_nrrd,
+                                read_nifti, MyRandAugment, apply_op,
+                                rescale_intensity)
+
+CARDIAC_IMG = "/root/reference/example/data/cardiac/img.nrrd"
+PROSTATE_SEG = "/root/reference/example/data/prostate/seg.nrrd"
+
+
+def test_read_nrrd_real_cardiac():
+    arr = read_nrrd(CARDIAC_IMG)
+    assert arr.shape == (10, 271, 228)  # sizes reversed: 228 271 10
+    assert arr.dtype == np.float32
+    assert np.isfinite(arr).all()
+
+
+def test_read_nrrd_real_prostate_seg():
+    arr = read_nrrd(PROSTATE_SEG)
+    labels = np.unique(arr)
+    assert arr.ndim == 3
+    assert len(labels) <= 16  # segmentation labels, not intensities
+
+
+def test_read_nrrd_gzip_roundtrip(tmp_path):
+    data = np.arange(24, dtype=np.int16).reshape(2, 3, 4)
+    header = (b"NRRD0004\n"
+              b"type: short\n"
+              b"dimension: 3\n"
+              b"sizes: 4 3 2\n"
+              b"endian: little\n"
+              b"encoding: gzip\n\n")
+    p = tmp_path / "t.nrrd"
+    p.write_bytes(header + gzip.compress(data.tobytes()))
+    out = read_nrrd(p)
+    np.testing.assert_array_equal(out, data)
+
+
+def test_read_nifti_roundtrip(tmp_path):
+    rng = np.random.RandomState(0)
+    vol = rng.rand(5, 6, 7).astype(np.float32)  # (z, y, x)
+    hdr = bytearray(352)
+    struct.pack_into("<i", hdr, 0, 348)
+    struct.pack_into("<8h", hdr, 40, 3, 7, 6, 5, 1, 1, 1, 1)  # x, y, z
+    struct.pack_into("<h", hdr, 70, 16)          # float32
+    struct.pack_into("<f", hdr, 108, 352.0)      # vox_offset
+    struct.pack_into("<f", hdr, 112, 0.0)        # scl_slope
+    data_f = np.transpose(vol, (2, 1, 0)).tobytes(order="F")
+    p = tmp_path / "t.nii"
+    p.write_bytes(bytes(hdr) + data_f)
+    out = read_nifti(p)
+    np.testing.assert_allclose(out, vol)
+
+
+def test_load_image_label_cardiac_2d_and_3d():
+    img = load_image_label(CARDIAC_IMG, slice_id=5, crop_size=(192, 192))
+    assert img.shape == (192, 192)
+    assert 0.0 <= img.min() and img.max() <= 1.0
+    vol = load_image_label(CARDIAC_IMG, slice_id=-1, crop_size=(192, 192))
+    assert vol.shape == (10, 192, 192)
+
+
+def test_random_chain_properties():
+    rng = np.random.RandomState(0)
+    items = ["a", "b", "c", "d"]
+    for _ in range(20):
+        sub = random_chain(items, rng=rng)
+        assert 1 <= len(sub) <= 4
+        assert len(set(sub)) == len(sub)
+        assert set(sub) <= set(items)
+    # paired shuffle keeps correspondence
+    sizes = [1, 2, 3, 4]
+    sub, ss = random_chain(items, size_list=sizes, rng=rng)
+    for t, s in zip(sub, ss):
+        assert sizes[items.index(t)] == s
+    # single element (crashes in the reference; fixed here)
+    assert random_chain(["x"]) == ["x"]
+    assert random_chain(["x"], size_list=[9]) == (["x"], [9])
+
+
+def test_rescale_intensity_per_channel():
+    r = np.random.RandomState(0)
+    x = jnp.asarray(r.rand(2, 3, 8, 8).astype(np.float32) * 10 - 5)
+    out = np.asarray(rescale_intensity(x))
+    flat = out.reshape(6, -1)
+    np.testing.assert_allclose(flat.min(1), 0, atol=1e-5)
+    np.testing.assert_allclose(flat.max(1), 1, atol=1e-5)
+
+
+def test_rand_augment_capture_replay():
+    aug = MyRandAugment(num_ops=2, magnitude=9, seed=0)
+    r = np.random.RandomState(1)
+    x = jnp.asarray(r.rand(1, 1, 32, 32).astype(np.float32))
+    y1 = np.asarray(aug(x))
+    y2 = np.asarray(aug(x, reuse_param=True))
+    np.testing.assert_array_equal(y1, y2)
+    # fresh draw eventually differs
+    diffs = [not np.allclose(np.asarray(aug(x)), y1) for _ in range(5)]
+    assert any(diffs)
+
+
+@pytest.mark.parametrize("op,mag", [
+    ("Identity", 0.0), ("ShearX", 0.2), ("ShearY", -0.2),
+    ("TranslateX", 10.0), ("TranslateY", -10.0), ("Rotate", 20.0),
+    ("Brightness", 0.5), ("Color", 0.5), ("Contrast", -0.5),
+    ("Sharpness", 0.9), ("Posterize", 4.0), ("Solarize", 128.0),
+    ("AutoContrast", 0.0), ("Equalize", 0.0), ("Invert", 0.0)])
+def test_apply_op_valid_output(op, mag):
+    r = np.random.RandomState(2)
+    x = jnp.asarray(r.rand(2, 1, 16, 16).astype(np.float32))
+    y = np.asarray(apply_op(x, op, mag))
+    assert y.shape == x.shape
+    assert np.isfinite(y).all()
+    assert y.min() >= -1e-6 and y.max() <= 1.0 + 1e-6
+
+
+def test_apply_op_semantics():
+    x = jnp.asarray(np.linspace(0, 1, 256, dtype=np.float32)
+                    .reshape(1, 1, 16, 16))
+    inv = np.asarray(apply_op(x, "Invert", 0.0))
+    np.testing.assert_allclose(inv, 1.0 - np.asarray(x), atol=1e-6)
+    sol = np.asarray(apply_op(x, "Solarize", 128.0))
+    xx = np.asarray(x)
+    np.testing.assert_allclose(sol, np.where(xx >= 128 / 255.0, 1 - xx, xx),
+                               atol=1e-6)
+    bright = np.asarray(apply_op(x, "Brightness", -0.5))
+    np.testing.assert_allclose(bright, 0.5 * xx, atol=1e-6)
+    t = np.asarray(apply_op(x, "TranslateX", 3.0))
+    np.testing.assert_allclose(t[:, :, :, 3:], xx[:, :, :, :-3], atol=1e-6)
+    np.testing.assert_allclose(t[:, :, :, :3], 0.0, atol=1e-6)
+
+
+def test_unknown_op_raises():
+    with pytest.raises(ValueError):
+        apply_op(jnp.zeros((1, 1, 8, 8)), "Sparkle", 1.0)
