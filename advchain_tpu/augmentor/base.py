@@ -140,6 +140,8 @@ class AdvTransformBase:
                             interp=interp, padding_mode=padding_mode)
 
     def predict_forward(self, data, interp=None, padding_mode=None, **kwargs):
+        if self.param is None:  # reference forward() auto-inits
+            self.init_parameters()
         return self.predict_forward_fn(self.param, data,
                                        training=self.is_training,
                                        interp=interp,

@@ -107,10 +107,12 @@ class ComposeAdversarialTransformSolver:
                 anatomy_reg_weight=anatomy_reg_weight,
                 volume_preserve_tolerance=volume_preserve_tolerance)
 
-        dist, adv_data, adv_output, warped_back_adv_output = \
-            self.calc_adv_consistency_loss(
-                jax.lax.stop_gradient(data), model, init_output=init_output,
-                chain_of_transforms=self.chain_of_transforms)
+        for tr in self.chain_of_transforms:
+            tr.eval()
+        final_fn = self._get_final_loss_fn(model, data.shape)
+        dist, adv_data, adv_output, warped_back_adv_output = final_fn(
+            tuple(t.param for t in self.chain_of_transforms),
+            jax.lax.stop_gradient(data), init_output)
 
         self.init_output = init_output
         self.warped_back_adv_output = warped_back_adv_output
@@ -327,6 +329,81 @@ class ComposeAdversarialTransformSolver:
 
         return pgd_step
 
+    def _get_init_all_fn(self):
+        """Fused random init of every transform's params: ONE device program
+        instead of a dozen small dispatches (each host->device dispatch costs
+        real latency on remote/tunneled TPU runtimes)."""
+        key = ("init_all",
+               tuple(type(t).__name__ for t in self.chain_of_transforms),
+               tuple(tuple(t.data_size) for t in self.chain_of_transforms))
+        if key not in self._step_cache:
+            transforms = tuple(self.chain_of_transforms)
+
+            def init_all(base_key):
+                keys = jax.random.split(base_key, len(transforms))
+                return tuple(t.init_params(k)
+                             for t, k in zip(transforms, keys))
+
+            self._step_cache[key] = jax.jit(init_all)
+        return self._step_cache[key]
+
+    def _get_project_all_fn(self, optimize_flags):
+        """Fused projection (rescale_parameters) for flagged transforms."""
+        key = ("project_all", tuple(optimize_flags),
+               tuple(type(t).__name__ for t in self.chain_of_transforms))
+        if key not in self._step_cache:
+            transforms = tuple(self.chain_of_transforms)
+            flags = tuple(optimize_flags)
+
+            def project_all(params):
+                return tuple(t.project(p) if f else p
+                             for t, p, f in zip(transforms, params, flags))
+
+            self._step_cache[key] = jax.jit(project_all)
+        return self._step_cache[key]
+
+    def _build_final_loss_fn(self, model):
+        """The final consistency pass (calc_adv_consistency_loss's math) as
+        one fused device program: chain apply (eval mode) -> net -> mask
+        roundtrip -> divergence."""
+        transforms = tuple(self.chain_of_transforms)
+        has_geo = self.if_contains_geo_transform()
+        get_output = self.get_net_output
+
+        def final(params, data, init_output):
+            eval_flags = (False,) * len(transforms)
+            adv_data = self._chain_apply_pure(transforms, params, data,
+                                              eval_flags)
+            adv_output = get_output(model, jax.lax.stop_gradient(adv_data))
+            if has_geo:
+                ones = jnp.ones_like(init_output)
+                fwd = self._predict_forward_pure(transforms, params, ones,
+                                                 eval_flags)
+                fb_mask = self._predict_backward_pure(transforms, params,
+                                                      fwd, eval_flags)
+                fb_mask = _binarize_nonzero(fb_mask)
+                warped = self._predict_backward_pure(transforms, params,
+                                                     adv_output, eval_flags)
+                dist = self.loss_fn(
+                    pred=warped,
+                    reference=jax.lax.stop_gradient(init_output),
+                    mask=fb_mask)
+            else:
+                warped = adv_output
+                dist = self.loss_fn(
+                    pred=adv_output,
+                    reference=jax.lax.stop_gradient(init_output))
+            return dist, adv_data, adv_output, warped
+
+        return jax.jit(final)
+
+    def _get_final_loss_fn(self, model, data_shape):
+        key = ("final", id(model), tuple(data_shape),
+               tuple(type(t).__name__ for t in self.chain_of_transforms))
+        if key not in self._step_cache:
+            self._step_cache[key] = self._build_final_loss_fn(model)
+        return self._step_cache[key]
+
     def _get_pgd_step(self, model, optimize_flags, step_sizes, use_anatomy,
                       anatomy_reg_weight, data_shape):
         key = (id(model), tuple(optimize_flags), tuple(step_sizes),
@@ -372,14 +449,15 @@ class ComposeAdversarialTransformSolver:
             if self.debug:
                 print(f"[inner loop], step {i_iter}: dist {float(dist)}")
             if i_iter == n_iter:
-                # write back, project, freeze (reference :369-375)
+                # write back, project, freeze (reference :369-375); the
+                # projection is one fused device program
+                params = list(self._get_project_all_fn(optimize_flags)(
+                    tuple(params)))
                 for flag, t, p in zip(optimize_flags,
                                       self.chain_of_transforms, params):
                     t.param = jax.lax.stop_gradient(p)
                     if flag:
-                        t.rescale_parameters()
                         t.eval()
-                params = [t.param for t in self.chain_of_transforms]
                 if self.if_contains_geo_transform() and use_anatomy:
                     mis = float(self.compute_anatomy_misoverlapping_loss(
                         anatomy_mask_images))
@@ -475,6 +553,17 @@ class ComposeAdversarialTransformSolver:
                                    volume_preserve_tolerance: float = 5e-4):
         """Random init; geometric transforms rejection-sample under the
         anatomy constraint, <=10 tries (reference :479-500)."""
+        if anatomy_mask_images is None and self.chain_of_transforms:
+            # fast path: one fused device program for all inits
+            missing = [t for t in self.chain_of_transforms if t.param is None]
+            if lazy_load and not missing:
+                return
+            base_key = self.chain_of_transforms[0]._next_key()
+            params = self._get_init_all_fn()(base_key)
+            for t, p in zip(self.chain_of_transforms, params):
+                if not lazy_load or t.param is None:
+                    t.param = p
+            return
         for transform in self.chain_of_transforms:
             if lazy_load:
                 if transform.param is None:

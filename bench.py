@@ -60,6 +60,12 @@ def chain_configs(batch, shape):
 
 def bench_tpu():
     import jax
+    try:  # persistent compilation cache: the driver's bench run reuses it
+        jax.config.update("jax_compilation_cache_dir",
+                          "/root/repo/.jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    except Exception:
+        pass
     import jax.numpy as jnp
     from advchain_tpu.augmentor import (AdvAffine, AdvBias, AdvMorph,
                                         AdvNoise,
@@ -99,6 +105,8 @@ def bench_torch_reference():
     if "SimpleITK" not in sys.modules:
         sys.modules["SimpleITK"] = types.ModuleType("SimpleITK")
     sys.path.insert(0, "/root/reference")
+    if not hasattr(np, "Inf"):
+        np.Inf = np.inf  # reference uses np.Inf (removed in numpy 2.0)
     try:
         import torch
         torch.set_num_threads(os.cpu_count() or 8)

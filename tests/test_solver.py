@@ -217,6 +217,9 @@ def test_step_cache_reused():
         divergence_weights=[1.0])
     model = make_model()
     data = make_data()
-    for _ in range(3):
+    solver.adversarial_training(data=data, model=model, n_iter=1)
+    n_programs = len(solver._step_cache)
+    for _ in range(2):
         solver.adversarial_training(data=data, model=model, n_iter=1)
-    assert len(solver._step_cache) == 1
+    # repeated identical calls must not build new programs
+    assert len(solver._step_cache) == n_programs
