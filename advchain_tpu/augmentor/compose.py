@@ -46,6 +46,11 @@ from advchain_tpu.losses import calc_segmentation_consistency
 logger = logging.getLogger(__name__)
 
 
+def np_asarray_list(x):
+    import numpy as _np
+    return [float(v) for v in _np.asarray(x)]
+
+
 def _binarize_nonzero(mask):
     """mask[mask != 0] = 1 (reference adv_compose_solver.py:268,325)."""
     return jnp.where(mask != 0, jnp.ones_like(mask), mask)
@@ -75,6 +80,11 @@ class ComposeAdversarialTransformSolver:
         self.is_gt = is_gt
         self.class_weights = None
         self._step_cache = {}
+        self._episode_counter = 0
+
+    def _next_episode_seed(self) -> int:
+        self._episode_counter += 1
+        return self._episode_counter
 
     # ------------------------------------------------------------ main API
     def adversarial_training(self, data, model, optimize_flags=None,
@@ -90,29 +100,50 @@ class ComposeAdversarialTransformSolver:
         self._apply_power_iteration_setting(power_iteration)
         step_sizes = self._normalize_step_sizes(step_sizes)
 
-        if hasattr(model, "begin_episode"):
-            model.begin_episode()
-        if init_output is None:
-            init_output = self.get_init_output(data=data, model=model)
+        if anatomy_mask_images is None:
+            # FAST PATH: the whole episode (reference fwd, random init or
+            # warm start, PGD loop, projection, final loss) is one cached
+            # device program -> a single dispatch.
+            warm = bool(lazy_load) and all(
+                t.param is not None for t in self.chain_of_transforms)
+            fn = self._get_episode_fn(model, optimize_flags, step_sizes,
+                                      n_iter, warm, data.shape)
+            seed = self._next_episode_seed()
+            params_in = (tuple(t.param for t in self.chain_of_transforms)
+                         if warm else None)
+            (params, dist, adv_data, adv_output, warped_back_adv_output,
+             init_output, inner_dists) = fn(seed, data, params_in,
+                                            init_output)
+            for t, p in zip(self.chain_of_transforms, params):
+                t.param = p
+                t.is_training = False
+            if self.debug:
+                for i, d in enumerate(np_asarray_list(inner_dists)):
+                    print(f"[inner loop], step {i + 1}: dist {d}")
+        else:
+            if hasattr(model, "begin_episode"):
+                model.begin_episode()
+            if init_output is None:
+                init_output = self.get_init_output(data=data, model=model)
 
-        self.init_random_transformation(
-            lazy_load, anatomy_mask_images=anatomy_mask_images,
-            volume_preserve_tolerance=volume_preserve_tolerance)
-        if n_iter >= 1:
-            self.optimizing_transform(
-                data=data, model=model, init_output=init_output,
-                n_iter=n_iter, optimize_flags=optimize_flags,
-                step_sizes=step_sizes,
-                anatomy_mask_images=anatomy_mask_images,
-                anatomy_reg_weight=anatomy_reg_weight,
+            self.init_random_transformation(
+                lazy_load, anatomy_mask_images=anatomy_mask_images,
                 volume_preserve_tolerance=volume_preserve_tolerance)
+            if n_iter >= 1:
+                self.optimizing_transform(
+                    data=data, model=model, init_output=init_output,
+                    n_iter=n_iter, optimize_flags=optimize_flags,
+                    step_sizes=step_sizes,
+                    anatomy_mask_images=anatomy_mask_images,
+                    anatomy_reg_weight=anatomy_reg_weight,
+                    volume_preserve_tolerance=volume_preserve_tolerance)
 
-        for tr in self.chain_of_transforms:
-            tr.eval()
-        final_fn = self._get_final_loss_fn(model, data.shape)
-        dist, adv_data, adv_output, warped_back_adv_output = final_fn(
-            tuple(t.param for t in self.chain_of_transforms),
-            jax.lax.stop_gradient(data), init_output)
+            for tr in self.chain_of_transforms:
+                tr.eval()
+            final_fn = self._get_final_loss_fn(model, data.shape)
+            dist, adv_data, adv_output, warped_back_adv_output = final_fn(
+                tuple(t.param for t in self.chain_of_transforms),
+                jax.lax.stop_gradient(data), init_output)
 
         self.init_output = init_output
         self.warped_back_adv_output = warped_back_adv_output
@@ -362,19 +393,24 @@ class ComposeAdversarialTransformSolver:
             self._step_cache[key] = jax.jit(project_all)
         return self._step_cache[key]
 
-    def _build_final_loss_fn(self, model):
-        """The final consistency pass (calc_adv_consistency_loss's math) as
-        one fused device program: chain apply (eval mode) -> net -> mask
-        roundtrip -> divergence."""
+    def _model_call(self, model, x, dropout_key=None):
+        """Route a frozen-network forward; models exposing ``apply_fixed``
+        get the dropout key as a traced argument."""
+        if dropout_key is not None and hasattr(model, "apply_fixed"):
+            return model.apply_fixed(x, dropout_key)
+        return self.get_net_output(model, x)
+
+    def _final_loss_math(self, model_fn):
+        """Raw final consistency pass (calc_adv_consistency_loss's math):
+        chain apply (eval mode) -> net -> mask roundtrip -> divergence."""
         transforms = tuple(self.chain_of_transforms)
         has_geo = self.if_contains_geo_transform()
-        get_output = self.get_net_output
 
         def final(params, data, init_output):
             eval_flags = (False,) * len(transforms)
             adv_data = self._chain_apply_pure(transforms, params, data,
                                               eval_flags)
-            adv_output = get_output(model, jax.lax.stop_gradient(adv_data))
+            adv_output = model_fn(jax.lax.stop_gradient(adv_data))
             if has_geo:
                 ones = jnp.ones_like(init_output)
                 fwd = self._predict_forward_pure(transforms, params, ones,
@@ -395,13 +431,69 @@ class ComposeAdversarialTransformSolver:
                     reference=jax.lax.stop_gradient(init_output))
             return dist, adv_data, adv_output, warped
 
-        return jax.jit(final)
+        return final
 
     def _get_final_loss_fn(self, model, data_shape):
         key = ("final", id(model), tuple(data_shape),
                tuple(type(t).__name__ for t in self.chain_of_transforms))
         if key not in self._step_cache:
-            self._step_cache[key] = self._build_final_loss_fn(model)
+            self._step_cache[key] = jax.jit(
+                self._final_loss_math(lambda x: self.get_net_output(model, x)))
+        return self._step_cache[key]
+
+    def _get_episode_fn(self, model, optimize_flags, step_sizes, n_iter,
+                        warm: bool, data_shape):
+        """The ENTIRE adversarial_training common path as ONE cached device
+        program: reference forward, random transform init (or warm start),
+        the n_iter PGD inner loop, projection, and the final consistency
+        pass.  On remote/tunneled TPU runtimes every eager dispatch costs
+        20-90 ms; this brings an episode down to a single dispatch."""
+        key = ("episode", id(model), tuple(optimize_flags),
+               tuple(step_sizes), int(n_iter), bool(warm),
+               tuple(data_shape),
+               tuple(t.power_iteration for t in self.chain_of_transforms),
+               tuple(type(t).__name__ for t in self.chain_of_transforms))
+        if key not in self._step_cache:
+            transforms = tuple(self.chain_of_transforms)
+            flags = tuple(bool(f) for f in optimize_flags)
+            steps = tuple(float(s) for s in step_sizes)
+
+            def episode(seed, data, params_in, init_output_in):
+                data = jax.lax.stop_gradient(data)
+                base = jax.random.PRNGKey(seed)
+                k_drop, k_init = jax.random.split(base)
+                model_fn = lambda x: self._model_call(model, x, k_drop)
+                if init_output_in is None:
+                    init_output = jax.lax.stop_gradient(model_fn(data))
+                else:
+                    init_output = jax.lax.stop_gradient(init_output_in)
+                if warm:
+                    params = tuple(params_in)
+                else:
+                    keys = jax.random.split(k_init, len(transforms))
+                    params = tuple(t.init_params(kk)
+                                   for t, kk in zip(transforms, keys))
+                params = tuple(t.prepare_train(p) if f else p
+                               for t, p, f in zip(transforms, params, flags))
+                dists = []
+                if n_iter > 0:
+                    pgd = self.build_pgd_step_fn(model_fn, flags, steps)
+                    dummy = jnp.zeros_like(data)
+                    for _ in range(n_iter):
+                        params, d = pgd(params, data, init_output, dummy)
+                        dists.append(d)
+                    params = tuple(t.project(p) if f else p
+                                   for t, p, f in
+                                   zip(transforms, params, flags))
+                params = jax.lax.stop_gradient(params)
+                final = self._final_loss_math(model_fn)
+                dist, adv_data, adv_output, warped = final(
+                    params, data, init_output)
+                return (params, dist, adv_data, adv_output, warped,
+                        init_output, jnp.stack(dists) if dists else
+                        jnp.zeros((0,)))
+
+            self._step_cache[key] = jax.jit(episode)
         return self._step_cache[key]
 
     def _get_pgd_step(self, model, optimize_flags, step_sizes, use_anatomy,

@@ -77,6 +77,15 @@ class SegmentationModel:
                 rngs={"dropout": self._episode_rng}, mutable=False)
         return self._jit_apply(self._variables(), x, self._episode_rng)
 
+    def apply_fixed(self, x, dropout_rng):
+        """Pure fixed-network forward with an explicit dropout rng — used by
+        the solver's fused episode program so the key is a traced argument
+        (a closure-captured key would be baked into the cached executable
+        as a constant and never change across episodes)."""
+        return self.module.apply(
+            self._variables(), x, train=self.use_batch_stats_in_solver,
+            rngs={"dropout": dropout_rng}, mutable=False)
+
     # --------------------------------------------------------- user loops
     def predict(self, x):
         """Inference: running-average BN, no dropout."""
