@@ -1,0 +1,10 @@
+"""Pallas TPU kernels for the hot ops (perf path; XLA compositions remain
+the reference/fallback implementation)."""
+
+from advchain_tpu.kernels.gather_matmul import (corner_gather,
+                                                corner_scatter,
+                                                grid_sample_2d_pallas,
+                                                grid_sample_3d_pallas)
+
+__all__ = ["corner_gather", "corner_scatter", "grid_sample_2d_pallas",
+           "grid_sample_3d_pallas"]

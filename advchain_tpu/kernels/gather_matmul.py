@@ -1,0 +1,365 @@
+"""Pallas TPU grid-sampling kernels: gather-as-one-hot-matmul.
+
+Why: XLA's TPU gather/scatter lowering is pathological for the bilinear
+sampling patterns in this framework — measured on v5e (with honest
+device-to-host sync; the runtime's block_until_ready is unreliable under
+the axon tunnel), one bilinear warp of a (16,1,192,192) image costs ~27 ms
+via XLA and the 8-composition scaling-and-squaring field ~536 ms.  These
+kernels replace the gather with VPU compares + MXU matmuls (~8 ms per warp
+standalone, ~10x on composition chains; HBM on this slice sustains ~110
+GB/s so standalone calls are traffic-bound):
+
+  * ``corner_gather``: vals[n,c,p,k] = img[n,c, idx[n,p] + offset_k].  The
+    one-hot matrix ``(idx - chunk_base == iota)`` is built in VMEM tile by
+    tile — ONE compare per (pixel, source) pair; the K bilinear corner taps
+    share the base index and read from K pre-shifted image copies stacked as
+    extra matmul columns — and contracted on the MXU.  A per-tile dynamic
+    chunk window (min/max of the tile's indices) prunes source chunks that
+    cannot match (most of the sweep, for this domain's near-identity warps).
+
+  * ``corner_scatter``: the exact transpose (VJP w.r.t. the image):
+    dimg[idx+offset_k] += g_k, computed per source chunk as
+    (g-tile) @ one-hot with the same shared compare, corner-shifted
+    afterwards in XLA.
+
+``grid_sample_2d_pallas`` / ``grid_sample_3d_pallas`` wire them into
+drop-in bilinear/trilinear samplers with a ``jax.custom_vjp``: corner
+values are piecewise-constant in the grid, so the grid gradient flows
+entirely through the XLA-computed corner *weights*, and the custom VJP only
+supplies d(img) (scatter kernel) and d(weights) (elementwise against saved
+corner values).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["corner_gather", "corner_scatter", "grid_sample_2d_pallas",
+           "grid_sample_3d_pallas"]
+
+# output-pixel tile (sublanes of the one-hot) / source chunk (lanes)
+_PT = 512
+_CH = 512
+
+
+def _interpret() -> bool:
+    # pallas TPU kernels only compile on TPU; CPU runs use interpret mode
+    dd = jax.config.jax_default_device
+    if dd is not None:
+        return getattr(dd, "platform", None) != "tpu"
+    return jax.default_backend() != "tpu"
+
+
+def _pad_to(x, mult: int, axis: int, value=0):
+    size = x.shape[axis]
+    rem = (-size) % mult
+    if rem == 0:
+        return x, size
+    pads = [(0, 0)] * x.ndim
+    pads[axis] = (0, rem)
+    return jnp.pad(x, pads, constant_values=value), size
+
+
+@functools.partial(jax.jit, static_argnames=("offsets",))
+def corner_gather(img, idx, offsets: Tuple[int, ...]):
+    """img: (N, C, S); idx: (N, P) int32 with 0 <= idx < S (clipped);
+    returns vals (N, C, P, K) with vals[..., k] = img[idx + offsets[k]].
+    Reads past S hit zero padding (call sites zero those taps' weights)."""
+    n, c, s = img.shape
+    k = len(offsets)
+    max_off = max(offsets)
+    img_p, _ = _pad_to(img, _CH, axis=2)
+    # Mosaic requires lane-aligned loads; corner shifts become K pre-shifted
+    # copies (K x one image of extra HBM, reused across all output tiles)
+    img_p = jnp.pad(img_p, ((0, 0), (0, 0), (0, max_off)))
+    sp = img_p.shape[2] - max_off
+    img_k = jnp.stack([img_p[:, :, off:off + sp] for off in offsets],
+                      axis=1)  # (N, K, C, SP)
+    idx_p, p_orig = _pad_to(idx, _PT, axis=1)
+    p = idx_p.shape[1]
+    n_tiles = p // _PT
+    idx_3d = idx_p.reshape(n, n_tiles, _PT)
+    n_chunks = sp // _CH
+
+    def kernel(idx_ref, img_ref, out_ref):
+        j = pl.program_id(1)
+        pix = idx_ref[0, pl.ds(j, 1), :][0]  # (PT,)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (_PT, _CH), 1)
+        # dynamic band window: only chunks covering [min, max] of this tile
+        lo = jnp.min(pix) // _CH
+        hi = jnp.minimum(jnp.max(pix) // _CH + 1, n_chunks)
+
+        def body(ci, acc):
+            base = pl.multiple_of(ci * _CH, _CH)
+            oh = (pix[:, None] - base == lane).astype(jnp.float32)
+            rhs = img_ref[0, :, :, pl.ds(base, _CH)]  # (K, C, CH)
+            rhs = rhs.reshape(k * c, _CH)
+            return acc + jax.lax.dot_general(
+                oh, rhs, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+
+        acc = jax.lax.fori_loop(
+            lo, hi, body, jnp.zeros((_PT, k * c), jnp.float32))
+        out_ref[0, 0] = acc
+
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((n, n_tiles, _PT, k * c),
+                                       jnp.float32),
+        grid=(n, n_tiles),
+        in_specs=[
+            pl.BlockSpec((1, n_tiles, _PT), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, k, c, sp), lambda i, j: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 1, _PT, k * c), lambda i, j: (i, j, 0, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=_interpret(),
+    )(idx_3d, img_k)
+    # (N, T, PT, K*C) -> (N, P, K, C) -> (N, C, P, K)
+    out = out.reshape(n, p, k, c)[:, :p_orig]
+    return jnp.moveaxis(out, 3, 1)
+
+
+@functools.partial(jax.jit, static_argnames=("offsets", "s_out"))
+def corner_scatter(g, idx, offsets: Tuple[int, ...], s_out: int):
+    """Transpose of corner_gather: g (N, C, P, K), idx (N, P) ->
+    dimg (N, C, s_out) with dimg[idx + offsets[k]] += g[..., k]."""
+    n, c, p0, k = g.shape
+    idx_p, _ = _pad_to(idx, _PT, axis=1)
+    p = idx_p.shape[1]
+    idx_3d = idx_p.reshape(n, 1, p)
+    # (N, C, P, K) -> (N, K*C, P): keep P on the minor (lane) dim so the
+    # block is tile-dense (a (P, 4) layout would pad lanes 4 -> 128: 32x
+    # VMEM blowup, the cause of a scoped-vmem OOM in the first version)
+    g_r = jnp.moveaxis(g, 3, 1).reshape(n, k * c, p0)
+    g_r, _ = _pad_to(g_r, _PT, axis=2)
+    s_pad = -(-s_out // _CH) * _CH
+    n_ptiles = p // _PT
+
+    def kernel(idx_ref, g_ref, out_ref):
+        sj = pl.program_id(1)
+        base = sj * _CH
+        lane = jax.lax.broadcasted_iota(jnp.int32, (_PT, _CH), 1)
+
+        def body(pi, acc):
+            pstart = pl.multiple_of(pi * _PT, _PT)
+            pix = idx_ref[0, 0, pl.ds(pstart, _PT)]  # (PT,)
+            oh = (pix[:, None] - base == lane).astype(jnp.float32)
+            gt = g_ref[0, :, pl.ds(pstart, _PT)]  # (K*C, PT)
+            return acc + jax.lax.dot_general(
+                gt, oh, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+
+        acc = jax.lax.fori_loop(
+            0, n_ptiles, body, jnp.zeros((k * c, _CH), jnp.float32))
+        out_ref[0, 0] = acc
+
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((n, s_pad // _CH, k * c, _CH),
+                                       jnp.float32),
+        grid=(n, s_pad // _CH),
+        in_specs=[
+            pl.BlockSpec((1, 1, p), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, k * c, p), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 1, k * c, _CH), lambda i, j: (i, j, 0, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=_interpret(),
+    )(idx_3d, g_r)
+    # (N, S//CH, K*C, CH) -> (N, K, C, S)
+    out = jnp.moveaxis(out, 2, 1).reshape(n, k, c, s_pad)[..., :s_out]
+    # contributions of corner k land at idx + offsets[k]: shift each plane
+    dimg = jnp.zeros((n, c, s_out), jnp.float32)
+    for ki, off in enumerate(offsets):
+        plane = out[:, ki]
+        if off > 0:
+            plane = jnp.pad(plane, ((0, 0), (0, 0), (off, 0)))[:, :, :s_out]
+        dimg = dimg + plane
+    return dimg
+
+
+# ----------------------------------------------------------- 2D sampler
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def _weighted_corner_sample(img, payload, offsets: Tuple[int, ...],
+                            s_out: int):
+    """out[n,c,p] = sum_k w[n,k,p] * img[n,c, idx[n,p]+offsets[k]].
+
+    payload = (idx int32 (N,P), weights (N,K,P)).  Gradients flow to img
+    (scatter kernel) and weights (saved corner values); idx is non-diff.
+    """
+    idx, weights = payload
+    vals = corner_gather(img, idx, offsets)  # (N, C, P, K)
+    return jnp.einsum("nkp,ncpk->ncp", weights, vals)
+
+
+def _wcs_fwd(img, payload, offsets, s_out):
+    idx, weights = payload
+    vals = corner_gather(img, idx, offsets)
+    out = jnp.einsum("nkp,ncpk->ncp", weights, vals)
+    return out, (idx, weights, vals)
+
+
+def _wcs_bwd(offsets, s_out, res, g):
+    idx, weights, vals = res
+    d_weights = jnp.einsum("ncp,ncpk->nkp", g, vals)
+    g_corners = jnp.einsum("ncp,nkp->ncpk", g, weights)
+    d_img = corner_scatter(g_corners, idx, offsets, s_out)
+    return d_img, (None, d_weights)
+
+
+_weighted_corner_sample.defvjp(_wcs_fwd, _wcs_bwd)
+
+
+def grid_sample_2d_pallas(x, grid, padding_mode: str = "zeros",
+                          align_corners: bool = True):
+    """Drop-in bilinear 2D grid sample (torch semantics) on the Pallas
+    gather-matmul path.  x: (N, C, H, W); grid: (N, Ho, Wo, 2)."""
+    from advchain_tpu.ops.grid_sample import _prep_coord
+
+    n, c, h, w = x.shape
+    _, ho, wo, two = grid.shape
+    assert two == 2
+    gx = grid[..., 0].reshape(n, ho * wo)
+    gy = grid[..., 1].reshape(n, ho * wo)
+    ix = _prep_coord(gx, w, align_corners, padding_mode)
+    iy = _prep_coord(gy, h, align_corners, padding_mode)
+    x0 = jnp.floor(ix)
+    y0 = jnp.floor(iy)
+    fx = ix - x0
+    fy = iy - y0
+
+    def inb(xi, yi):
+        if padding_mode == "zeros":
+            return ((xi >= 0) & (xi <= w - 1) & (yi >= 0)
+                    & (yi <= h - 1)).astype(jnp.float32)
+        return jnp.ones_like(fx)
+
+    # corner taps use CLIPPED coordinates; offsets from the clipped base are
+    # 0/1 per axis, so fold any tap whose clipped coord collapses onto the
+    # base into the base tap's weight (keeps the static offsets correct)
+    x0c = jnp.clip(x0, 0, w - 1)
+    y0c = jnp.clip(y0, 0, h - 1)
+    x1c = jnp.clip(x0 + 1, 0, w - 1)
+    y1c = jnp.clip(y0 + 1, 0, h - 1)
+    dxf = (x1c - x0c).astype(jnp.float32)  # 0.0 or 1.0
+    dyf = (y1c - y0c).astype(jnp.float32)
+    base = (y0c * w + x0c).astype(jnp.int32)
+
+    w00 = (1 - fx) * (1 - fy) * inb(x0, y0)
+    w01 = fx * (1 - fy) * inb(x0 + 1, y0)
+    w10 = (1 - fx) * fy * inb(x0, y0 + 1)
+    w11 = fx * fy * inb(x0 + 1, y0 + 1)
+
+    cw00 = w00 + w01 * (1 - dxf) + w10 * (1 - dyf) \
+        + w11 * (1 - dxf) * (1 - dyf)
+    cw01 = w01 * dxf + w11 * dxf * (1 - dyf)
+    cw10 = w10 * dyf + w11 * (1 - dxf) * dyf
+    cw11 = w11 * dxf * dyf
+    weights = jnp.stack([cw00, cw01, cw10, cw11], axis=1)  # (N, 4, P)
+
+    out = _weighted_corner_sample(
+        x.reshape(n, c, h * w).astype(jnp.float32),
+        (base, weights.astype(jnp.float32)),
+        (0, 1, w, w + 1), h * w)
+    return out.reshape(n, c, ho, wo).astype(x.dtype)
+
+
+def grid_sample_3d_pallas(x, grid, padding_mode: str = "zeros",
+                          align_corners: bool = True):
+    """Trilinear 3D grid sample (torch semantics) on the Pallas path.
+    x: (N, C, D, H, W); grid: (N, Do, Ho, Wo, 3) with torch channel order
+    (grid[..., 0] indexes W, [..., 1] H, [..., 2] D)."""
+    from advchain_tpu.ops.grid_sample import _prep_coord
+
+    n, c, d, h, w = x.shape
+    _, do, ho, wo, three = grid.shape
+    assert three == 3
+    p = do * ho * wo
+    gx = grid[..., 0].reshape(n, p)
+    gy = grid[..., 1].reshape(n, p)
+    gz = grid[..., 2].reshape(n, p)
+    ix = _prep_coord(gx, w, align_corners, padding_mode)
+    iy = _prep_coord(gy, h, align_corners, padding_mode)
+    iz = _prep_coord(gz, d, align_corners, padding_mode)
+    x0 = jnp.floor(ix)
+    y0 = jnp.floor(iy)
+    z0 = jnp.floor(iz)
+    fx, fy, fz = ix - x0, iy - y0, iz - z0
+
+    def inb(xi, yi, zi):
+        if padding_mode == "zeros":
+            return ((xi >= 0) & (xi <= w - 1) & (yi >= 0) & (yi <= h - 1)
+                    & (zi >= 0) & (zi <= d - 1)).astype(jnp.float32)
+        return jnp.ones_like(fx)
+
+    x0c = jnp.clip(x0, 0, w - 1)
+    y0c = jnp.clip(y0, 0, h - 1)
+    z0c = jnp.clip(z0, 0, d - 1)
+    dxf = (jnp.clip(x0 + 1, 0, w - 1) - x0c).astype(jnp.float32)
+    dyf = (jnp.clip(y0 + 1, 0, h - 1) - y0c).astype(jnp.float32)
+    dzf = (jnp.clip(z0 + 1, 0, d - 1) - z0c).astype(jnp.float32)
+    base = ((z0c * h + y0c) * w + x0c).astype(jnp.int32)
+
+    # raw trilinear weights per corner (dz, dy, dx) with OOB masks
+    offsets = []
+    weights = []
+    hw = h * w
+    for dz in (0, 1):
+        for dy in (0, 1):
+            for dx in (0, 1):
+                wgt = ((fx if dx else 1 - fx) * (fy if dy else 1 - fy)
+                       * (fz if dz else 1 - fz)
+                       * inb(x0 + dx, y0 + dy, z0 + dz))
+                # fold clipped-collapsed taps onto the base-offset taps
+                fold = ((dxf if dx else 1.0) * (dyf if dy else 1.0)
+                        * (dzf if dz else 1.0))
+                offsets.append(dz * hw + dy * w + dx)
+                weights.append((wgt, dx, dy, dz, fold))
+
+    # accumulate folded weights per physical offset: a tap whose clipped
+    # coordinate collapses contributes at the collapsed (smaller) offset
+    planes = {off: jnp.zeros_like(fx) for off in
+              sorted({dz * hw + dy * w + dx for dz in (0, 1)
+                      for dy in (0, 1) for dx in (0, 1)})}
+    for (wgt, dx, dy, dz, _), _off in zip(weights, offsets):
+        # destination offset after collapse: component included only if the
+        # clipped +1 coordinate is distinct
+        ex = dxf * dx
+        ey = dyf * dy
+        ez = dzf * dz
+        # ex/ey/ez are 0.0/1.0 arrays -> distribute weight between collapsed
+        # and non-collapsed targets exactly (value identical either way when
+        # collapsed, but the target offset must exist in `planes`)
+        for tx in (0, 1):
+            px = (ex if tx else 1 - ex) if dx else (1.0 if tx == 0 else 0.0)
+            if isinstance(px, float) and px == 0.0:
+                continue
+            for ty in (0, 1):
+                py = (ey if ty else 1 - ey) if dy else                     (1.0 if ty == 0 else 0.0)
+                if isinstance(py, float) and py == 0.0:
+                    continue
+                for tz in (0, 1):
+                    pz = (ez if tz else 1 - ez) if dz else                         (1.0 if tz == 0 else 0.0)
+                    if isinstance(pz, float) and pz == 0.0:
+                        continue
+                    off = tz * hw + ty * w + tx
+                    planes[off] = planes[off] + wgt * px * py * pz
+    offs = tuple(planes.keys())
+    wstack = jnp.stack([planes[o] for o in offs], axis=1)  # (N, 8, P)
+
+    out = _weighted_corner_sample(
+        x.reshape(n, c, d * h * w).astype(jnp.float32),
+        (base, wstack.astype(jnp.float32)), offs, d * h * w)
+    return out.reshape(n, c, do, ho, wo).astype(x.dtype)

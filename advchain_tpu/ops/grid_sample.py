@@ -76,6 +76,30 @@ def _gather_nd(x_flat, idx_flat):
     return jnp.take_along_axis(x_flat, idx, axis=2)
 
 
+def _on_tpu_device() -> bool:
+    """True when computations target a TPU: honors jax_default_device (the
+    test suite pins CPU while the axon plugin makes 'tpu' the default
+    backend)."""
+    dd = jax.config.jax_default_device
+    if dd is not None:
+        return getattr(dd, "platform", None) == "tpu"
+    return jax.default_backend() == "tpu"
+
+
+def _use_pallas() -> bool:
+    """Route bilinear/trilinear sampling through the Pallas gather-matmul
+    kernels on TPU (XLA's TPU gather is ~3-10x slower for these patterns;
+    see kernels/gather_matmul.py).  Override with ADVCHAIN_GRID_SAMPLE_IMPL
+    = 'xla' | 'pallas'."""
+    import os
+    impl = os.environ.get("ADVCHAIN_GRID_SAMPLE_IMPL", "auto")
+    if impl == "xla":
+        return False
+    if impl == "pallas":
+        return True
+    return _on_tpu_device()
+
+
 @functools.partial(jax.jit, static_argnames=("mode", "padding_mode", "align_corners"))
 def grid_sample_2d(x, grid, mode: str = "bilinear", padding_mode: str = "zeros",
                    align_corners: bool = True):
@@ -87,6 +111,10 @@ def grid_sample_2d(x, grid, mode: str = "bilinear", padding_mode: str = "zeros",
     n, c, h, w = x.shape
     _, ho, wo, two = grid.shape
     assert two == 2, f"2D grid last dim must be 2, got {two}"
+    if mode == "bilinear" and _use_pallas():
+        from advchain_tpu.kernels.gather_matmul import grid_sample_2d_pallas
+        return grid_sample_2d_pallas(x, grid, padding_mode=padding_mode,
+                                     align_corners=align_corners)
     compute_dtype = jnp.promote_types(x.dtype, grid.dtype)
     gx = grid[..., 0].astype(compute_dtype).reshape(n, ho * wo)
     gy = grid[..., 1].astype(compute_dtype).reshape(n, ho * wo)
@@ -146,6 +174,10 @@ def grid_sample_3d(x, grid, mode: str = "bilinear", padding_mode: str = "zeros",
     n, c, d, h, w = x.shape
     _, do, ho, wo, three = grid.shape
     assert three == 3, f"3D grid last dim must be 3, got {three}"
+    if mode == "bilinear" and _use_pallas():
+        from advchain_tpu.kernels.gather_matmul import grid_sample_3d_pallas
+        return grid_sample_3d_pallas(x, grid, padding_mode=padding_mode,
+                                     align_corners=align_corners)
     p = do * ho * wo
     compute_dtype = jnp.promote_types(x.dtype, grid.dtype)
     gx = grid[..., 0].astype(compute_dtype).reshape(n, p)
