@@ -168,6 +168,21 @@ class AdvAffine(AdvTransformBase):
             return self.gen_batch_affine_matrix(self.xi * params)
         return self.gen_batch_affine_matrix(params)
 
+    def precompute(self, params, training: bool = False):
+        m = self._matrix(params, training)
+        return (m, invert_affine_matrix(m))
+
+    def apply_precomputed(self, aux, params, data, training: bool = False,
+                          interp=None, padding_mode=None):
+        self._stash("affine_matrix", aux[0])
+        return self.transform(data, aux[0],
+                              interp=interp or self.forward_interp)
+
+    def inverse_precomputed(self, aux, params, data, training: bool = False,
+                            interp=None, padding_mode=None):
+        return self.transform(data, aux[1],
+                              interp=interp or self.backward_interp)
+
     def transform(self, data, affine_matrix, interp=None):
         if interp is None:
             interp = self.forward_interp

@@ -68,6 +68,22 @@ class AdvTransformBase:
     def init_params(self, key):
         raise NotImplementedError
 
+    def precompute(self, params, training: bool = False):
+        """Compute shared per-evaluation state (deformation fields, affine
+        matrices, bias fields) ONCE so data/prediction/mask applications of
+        the same transform reuse it inside a single traced loss."""
+        return None
+
+    def apply_precomputed(self, aux, params, data, training: bool = False,
+                          interp=None, padding_mode=None):
+        return self.apply(params, data, training=training, interp=interp,
+                          padding_mode=padding_mode)
+
+    def inverse_precomputed(self, aux, params, data, training: bool = False,
+                            interp=None, padding_mode=None):
+        return self.inverse(params, data, training=training, interp=interp,
+                            padding_mode=padding_mode)
+
     def apply(self, params, data, training: bool = False, interp=None,
               padding_mode=None):
         raise NotImplementedError

@@ -102,6 +102,22 @@ class AdvBias(AdvTransformBase):
                 out = mask_ignore_values(data, out, self.ignore_values)
         return out
 
+    def precompute(self, params, training: bool = False):
+        scale = self.xi if (self.power_iteration and training) else 1.0
+        field = self.compute_smoothed_bias(scale * params)
+        field = clip_bias(field, self.magnitude)
+        self._stash("bias_field", field)
+        return field
+
+    def apply_precomputed(self, aux, params, data, training: bool = False,
+                          interp=None, padding_mode=None):
+        out = aux * data
+        if self.ignore_values is not None and \
+                isinstance(self.ignore_values, float):
+            from advchain_tpu.augmentor.base import mask_ignore_values
+            out = mask_ignore_values(data, out, self.ignore_values)
+        return out
+
     def update(self, params, grad, step_size):
         g = self.unit_normalize(grad, "l2")
         if self.power_iteration:

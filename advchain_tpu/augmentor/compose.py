@@ -258,10 +258,22 @@ class ComposeAdversarialTransformSolver:
                             for t in self.chain_of_transforms)
         return params, train_flags
 
-    def _chain_apply_pure(self, transforms, params, data, train_flags):
+    def _precompute_chain(self, transforms, params, train_flags):
+        """Per-evaluation shared state (deformation fields / matrices /
+        bias fields) computed ONCE and reused by the data, prediction, and
+        mask applications inside a single traced loss — the morph
+        exponentiation is by far the most expensive subgraph and would
+        otherwise be recomputed up to 5x per loss."""
+        return tuple(t.precompute(p, training=tf)
+                     for t, p, tf in zip(transforms, params, train_flags))
+
+    def _chain_apply_pure(self, transforms, params, data, train_flags,
+                          auxs=None):
         x = data
-        for t, p, tf in zip(transforms, params, train_flags):
-            x = t.apply(p, x, training=tf)
+        if auxs is None:
+            auxs = self._precompute_chain(transforms, params, train_flags)
+        for t, p, tf, aux in zip(transforms, params, train_flags, auxs):
+            x = t.apply_precomputed(aux, p, x, training=tf)
         if self.if_norm_image:
             lo = (jnp.min(data) if self.min_intensity is None
                   else self.min_intensity)
@@ -270,14 +282,23 @@ class ComposeAdversarialTransformSolver:
             x = jnp.clip(x, lo, hi)
         return x
 
-    def _predict_forward_pure(self, transforms, params, data, train_flags):
-        for t, p, tf in zip(transforms, params, train_flags):
-            data = t.predict_forward_fn(p, data, training=tf)
+    def _predict_forward_pure(self, transforms, params, data, train_flags,
+                              auxs=None):
+        if auxs is None:
+            auxs = self._precompute_chain(transforms, params, train_flags)
+        for t, p, tf, aux in zip(transforms, params, train_flags, auxs):
+            if t.is_geometric():
+                data = t.apply_precomputed(aux, p, data, training=tf)
         return data
 
-    def _predict_backward_pure(self, transforms, params, data, train_flags):
-        for t, p, tf in reversed(list(zip(transforms, params, train_flags))):
-            data = t.predict_backward_fn(p, data, training=tf)
+    def _predict_backward_pure(self, transforms, params, data, train_flags,
+                               auxs=None):
+        if auxs is None:
+            auxs = self._precompute_chain(transforms, params, train_flags)
+        for t, p, tf, aux in reversed(list(zip(transforms, params,
+                                               train_flags, auxs))):
+            if t.is_geometric():
+                data = t.inverse_precomputed(aux, p, data, training=tf)
         return data
 
     def _build_pgd_step(self, model, optimize_flags, step_sizes,
@@ -310,18 +331,19 @@ class ComposeAdversarialTransformSolver:
                 for p, f in zip(params, flags):
                     full.append(next(it) if f else p)
                 full = tuple(full)
+                auxs = self._precompute_chain(transforms, full, train_flags)
                 aug = self._chain_apply_pure(transforms, full, data,
-                                             train_flags)
+                                             train_flags, auxs)
                 perturbed = get_output(model, aug)
                 if has_geo:
                     warped_back = self._predict_backward_pure(
-                        transforms, full, perturbed, train_flags)
+                        transforms, full, perturbed, train_flags, auxs)
                     ones = jnp.ones_like(init_output)
                     fb_mask = self._predict_backward_pure(
                         transforms, full,
                         self._predict_forward_pure(transforms, full, ones,
-                                                   train_flags),
-                        train_flags)
+                                                   train_flags, auxs),
+                        train_flags, auxs)
                     fb_mask = _binarize_nonzero(fb_mask)
                     dist = self.loss_fn(pred=warped_back,
                                         reference=init_output, mask=fb_mask)
@@ -329,8 +351,9 @@ class ComposeAdversarialTransformSolver:
                         rec = self._predict_backward_pure(
                             transforms, full,
                             self._predict_forward_pure(
-                                transforms, full, anatomy_mask, train_flags),
-                            train_flags)
+                                transforms, full, anatomy_mask, train_flags,
+                                auxs),
+                            train_flags, auxs)
                         rec = jnp.where(rec >= 0.5, 1.0, 0.0)
                         reg = anatomy_reg_weight * jnp.mean(
                             (rec - anatomy_mask) ** 2)
@@ -408,18 +431,20 @@ class ComposeAdversarialTransformSolver:
 
         def final(params, data, init_output):
             eval_flags = (False,) * len(transforms)
+            auxs = self._precompute_chain(transforms, params, eval_flags)
             adv_data = self._chain_apply_pure(transforms, params, data,
-                                              eval_flags)
+                                              eval_flags, auxs)
             adv_output = model_fn(jax.lax.stop_gradient(adv_data))
             if has_geo:
                 ones = jnp.ones_like(init_output)
                 fwd = self._predict_forward_pure(transforms, params, ones,
-                                                 eval_flags)
+                                                 eval_flags, auxs)
                 fb_mask = self._predict_backward_pure(transforms, params,
-                                                      fwd, eval_flags)
+                                                      fwd, eval_flags, auxs)
                 fb_mask = _binarize_nonzero(fb_mask)
                 warped = self._predict_backward_pure(transforms, params,
-                                                     adv_output, eval_flags)
+                                                     adv_output, eval_flags,
+                                                     auxs)
                 dist = self.loss_fn(
                     pred=warped,
                     reference=jax.lax.stop_gradient(init_output),

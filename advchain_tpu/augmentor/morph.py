@@ -160,6 +160,27 @@ class AdvMorph(AdvTransformBase):
             return self.unit_normalize(params)
         return params
 
+    def precompute(self, params, training: bool = False):
+        dxy_f, disp = self.get_deformation_displacement_field(
+            self._duv(params, training))
+        dxy_f = jnp.clip(dxy_f, -1.0, 1.0)
+        dxy_b, _ = self.get_deformation_displacement_field(
+            self._duv(params, training, negate=True))
+        self._stash("displacement", disp)
+        return (dxy_f, dxy_b)
+
+    def apply_precomputed(self, aux, params, data, training: bool = False,
+                          interp=None, padding_mode=None):
+        return self.transform(data, aux[0],
+                              interp=interp or self.forward_interp,
+                              padding_mode=padding_mode)
+
+    def inverse_precomputed(self, aux, params, data, training: bool = False,
+                            interp=None, padding_mode=None):
+        return self.transform(data, aux[1],
+                              interp=interp or self.backward_interp,
+                              padding_mode=padding_mode)
+
     def get_name(self):
         return "morph"
 

@@ -134,7 +134,7 @@ def corner_scatter(g, idx, offsets: Tuple[int, ...], s_out: int):
     """Transpose of corner_gather: g (N, C, P, K), idx (N, P) ->
     dimg (N, C, s_out) with dimg[idx + offsets[k]] += g[..., k]."""
     n, c, p0, k = g.shape
-    idx_p, _ = _pad_to(idx, _PT, axis=1)
+    idx_p, _ = _pad_to(idx, _PT, axis=1, value=-10 ** 8)  # pad misses all
     p = idx_p.shape[1]
     idx_3d = idx_p.reshape(n, 1, p)
     # (N, C, P, K) -> (N, K*C, P): keep P on the minor (lane) dim so the
@@ -144,20 +144,32 @@ def corner_scatter(g, idx, offsets: Tuple[int, ...], s_out: int):
     g_r, _ = _pad_to(g_r, _PT, axis=2)
     s_pad = -(-s_out // _CH) * _CH
     n_ptiles = p // _PT
+    # per-p-tile index ranges (SMEM scalars) let the kernel skip tiles that
+    # cannot touch this source chunk — near-identity warps visit ~1/n_chunks
+    tiles = idx_p.reshape(n, n_ptiles, _PT)
+    tmin = jnp.min(jnp.where(tiles < 0, 10 ** 8, tiles), axis=2)
+    tmax = jnp.max(tiles, axis=2).astype(jnp.int32).reshape(n, 1, n_ptiles)
+    tmin = tmin.astype(jnp.int32).reshape(n, 1, n_ptiles)
 
-    def kernel(idx_ref, g_ref, out_ref):
+    def kernel(tmin_ref, tmax_ref, idx_ref, g_ref, out_ref):
         sj = pl.program_id(1)
         base = sj * _CH
         lane = jax.lax.broadcasted_iota(jnp.int32, (_PT, _CH), 1)
 
         def body(pi, acc):
-            pstart = pl.multiple_of(pi * _PT, _PT)
-            pix = idx_ref[0, 0, pl.ds(pstart, _PT)]  # (PT,)
-            oh = (pix[:, None] - base == lane).astype(jnp.float32)
-            gt = g_ref[0, :, pl.ds(pstart, _PT)]  # (K*C, PT)
-            return acc + jax.lax.dot_general(
-                gt, oh, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
+            overlap = (tmax_ref[0, 0, pi] >= base) & \
+                (tmin_ref[0, 0, pi] < base + _CH)
+
+            def work(a):
+                pstart = pl.multiple_of(pi * _PT, _PT)
+                pix = idx_ref[0, 0, pl.ds(pstart, _PT)]  # (PT,)
+                oh = (pix[:, None] - base == lane).astype(jnp.float32)
+                gt = g_ref[0, :, pl.ds(pstart, _PT)]  # (K*C, PT)
+                return a + jax.lax.dot_general(
+                    gt, oh, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+
+            return jax.lax.cond(overlap, work, lambda a: a, acc)
 
         acc = jax.lax.fori_loop(
             0, n_ptiles, body, jnp.zeros((k * c, _CH), jnp.float32))
@@ -169,6 +181,10 @@ def corner_scatter(g, idx, offsets: Tuple[int, ...], s_out: int):
                                        jnp.float32),
         grid=(n, s_pad // _CH),
         in_specs=[
+            pl.BlockSpec((1, 1, n_ptiles), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, n_ptiles), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 1, p), lambda i, j: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, k * c, p), lambda i, j: (i, 0, 0),
@@ -177,7 +193,7 @@ def corner_scatter(g, idx, offsets: Tuple[int, ...], s_out: int):
         out_specs=pl.BlockSpec((1, 1, k * c, _CH), lambda i, j: (i, j, 0, 0),
                                memory_space=pltpu.VMEM),
         interpret=_interpret(),
-    )(idx_3d, g_r)
+    )(tmin, tmax, idx_3d, g_r)
     # (N, S//CH, K*C, CH) -> (N, K, C, S)
     out = jnp.moveaxis(out, 2, 1).reshape(n, k, c, s_pad)[..., :s_out]
     # contributions of corner k land at idx + offsets[k]: shift each plane

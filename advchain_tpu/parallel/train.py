@@ -119,10 +119,13 @@ def make_adversarial_train_step(
                              for t, p, f in zip(transforms, t_params, flags))
         t_params = jax.lax.stop_gradient(t_params)
 
-        # final losses w.r.t. model params
+        # final losses w.r.t. model params (deformation fields / matrices
+        # precomputed once and shared across data/mask/prediction paths)
         eval_flags = (False,) * len(transforms)
+        auxs = jax.lax.stop_gradient(
+            solver._precompute_chain(transforms, t_params, eval_flags))
         adv_data = jax.lax.stop_gradient(solver._chain_apply_pure(
-            transforms, t_params, image, eval_flags))
+            transforms, t_params, image, eval_flags, auxs))
 
         def loss_fn(params):
             logits, new_bs = model.apply_train(params, state.batch_stats,
@@ -133,13 +136,15 @@ def make_adversarial_train_step(
             if has_geo:
                 ones = jnp.ones_like(init_output)
                 fwd = solver._predict_forward_pure(transforms, t_params,
-                                                   ones, eval_flags)
+                                                   ones, eval_flags, auxs)
                 fb_mask = solver._predict_backward_pure(transforms, t_params,
-                                                        fwd, eval_flags)
+                                                        fwd, eval_flags,
+                                                        auxs)
                 fb_mask = jnp.where(fb_mask != 0, jnp.ones_like(fb_mask),
                                     fb_mask)
                 warped = solver._predict_backward_pure(transforms, t_params,
-                                                       adv_out, eval_flags)
+                                                       adv_out, eval_flags,
+                                                       auxs)
                 cons = solver.loss_fn(pred=warped, reference=init_output,
                                       mask=fb_mask)
             else:
