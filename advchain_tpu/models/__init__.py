@@ -11,7 +11,9 @@ from advchain_tpu.models.blocks import (
     OutConvRelu, SELayer, CSELayer, ChannelSELayer, SpatialSELayer,
     ChannelSpatialSELayer, SqeUp, BatchInstanceNorm, AdaptiveInstanceNorm,
     AdaptiveBatchNorm, bilinear_additive_upsampling, spatial_pyramid_pool,
-    UnetConv3, UnetUp3, normal_init, xavier_init, kaiming_init)
+    UnetConv3, UnetUp3, normal_init, xavier_init, kaiming_init,
+    DomainDoubleConv, DomainInConv, DomainPoolDown, DomainUp,
+    UnetConv2, Conv2DBatchNorm, Conv2DBatchNormRelu)
 from advchain_tpu.models.convert import get_unet_model, torch_unet_state_to_flax
 
 __all__ = [
@@ -25,4 +27,6 @@ __all__ = [
     "AdaptiveInstanceNorm", "AdaptiveBatchNorm",
     "bilinear_additive_upsampling", "spatial_pyramid_pool",
     "UnetConv3", "UnetUp3", "normal_init", "xavier_init", "kaiming_init",
+    "DomainDoubleConv", "DomainInConv", "DomainPoolDown", "DomainUp",
+    "UnetConv2", "Conv2DBatchNorm", "Conv2DBatchNormRelu",
 ]

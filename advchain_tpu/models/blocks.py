@@ -48,6 +48,8 @@ __all__ = [
     "BatchInstanceNorm", "AdaptiveInstanceNorm", "AdaptiveBatchNorm",
     "bilinear_additive_upsampling", "spatial_pyramid_pool",
     "UnetConv3", "UnetUp3", "normal_init", "xavier_init", "kaiming_init",
+    "DomainDoubleConv", "DomainInConv", "DomainPoolDown", "DomainUp",
+    "UnetConv2", "Conv2DBatchNorm", "Conv2DBatchNormRelu",
 ]
 
 # ------------------------------------------------------------ initializers
@@ -428,3 +430,134 @@ class UnetUp3(nn.Module):
                               (off_w // 2, off_w - off_w // 2), (0, 0)])
         return UnetConv3(self.out_ch, self.use_batchnorm, name="conv")(
             jnp.concatenate([skip, up], axis=-1), train=train)
+
+
+# ------------------------------------------------- domain-specific blocks
+class DomainDoubleConv(nn.Module):
+    """double conv with per-domain BN banks (unet_parts.py:48-86):
+    ``domain_id`` selects which normalization statistics/affine to use —
+    the multi-site training trick of the reference."""
+    out_ch: int
+    num_domains: int = 1
+
+    @nn.compact
+    def __call__(self, x, domain_id: int, train: bool = False):
+        x = nn.Conv(self.out_ch, (3, 3), padding=1,
+                    kernel_init=kaiming_conv_init, name="conv_1")(x)
+        x = self._domain_norm("norm_1", x, domain_id, train)
+        x = nn.relu(x)
+        x = nn.Conv(self.out_ch, (3, 3), padding=1,
+                    kernel_init=kaiming_conv_init, name="conv_2")(x)
+        x = self._domain_norm("norm_2", x, domain_id, train)
+        return nn.relu(x)
+
+    def _domain_norm(self, prefix, x, domain_id, train):
+        """Apply the domain_id-th norm of a bank.  domain_id is a static
+        python int (the reference indexes a ModuleList the same way);
+        every bank member is created at init so checkpoints are complete."""
+        bank = [TorchBatchNorm(name=f"{prefix}_{d}")
+                for d in range(self.num_domains)]
+        if self.is_initializing():
+            for d, nb in enumerate(bank):
+                if d != domain_id:
+                    nb(x, use_running_average=not train)
+        return bank[domain_id](x, use_running_average=not train)
+
+
+class DomainInConv(nn.Module):
+    """domain_inconv (unet_parts.py:237-252)."""
+    out_ch: int
+    num_domains: int = 1
+    dropout: Optional[float] = None
+
+    @nn.compact
+    def __call__(self, x, domain_id: int, train: bool = False):
+        x = DomainDoubleConv(self.out_ch, self.num_domains,
+                             name="conv")(x, domain_id, train)
+        if self.dropout is not None:
+            x = nn.Dropout(self.dropout, deterministic=not train)(x)
+        return x
+
+
+class DomainPoolDown(nn.Module):
+    """domain_pool_down (unet_parts.py:218-235)."""
+    out_ch: int
+    num_domains: int = 1
+    dropout: Optional[float] = None
+
+    @nn.compact
+    def __call__(self, x, domain_id: int, train: bool = False):
+        x = max_pool_2x2(x)
+        x = DomainDoubleConv(self.out_ch, self.num_domains,
+                             name="conv_block")(x, domain_id, train)
+        if self.dropout is not None:
+            x = nn.Dropout(self.dropout, deterministic=not train)(x)
+        return x
+
+
+class DomainUp(nn.Module):
+    """domain_up (unet_parts.py:544-584): bilinear x2 + pad + concat +
+    domain double conv."""
+    out_ch: int
+    num_domains: int = 1
+    dropout: Optional[float] = None
+
+    @nn.compact
+    def __call__(self, x1, x2, domain_id: int, train: bool = False):
+        x1 = upsample2x_align_corners(x1)
+        x2 = _pad_or_crop_to(x2, x1.shape[1], x1.shape[2])
+        x = jnp.concatenate([x2, x1], axis=-1)
+        if self.dropout is not None:
+            x = nn.Dropout(self.dropout, deterministic=not train)(x)
+        return DomainDoubleConv(self.out_ch, self.num_domains,
+                                name="conv")(x, domain_id, train)
+
+
+class UnetConv2(nn.Module):
+    """unetConv2 (unet_parts.py:123-158): n stacked conv->(BN)->ReLU."""
+    out_ch: int
+    use_batchnorm: bool = True
+    n: int = 2
+    kernel_size: int = 3
+    stride: int = 1
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        for i in range(1, self.n + 1):
+            x = nn.Conv(self.out_ch, (self.kernel_size,) * 2,
+                        strides=(self.stride,) * 2, padding=1,
+                        kernel_init=kaiming_conv_init, name=f"conv{i}")(x)
+            if self.use_batchnorm:
+                x = TorchBatchNorm(name=f"bn{i}")(
+                    x, use_running_average=not train)
+            x = nn.relu(x)
+        return x
+
+
+class Conv2DBatchNorm(nn.Module):
+    """conv2DBatchNorm (unet_parts.py:88-103)."""
+    out_ch: int
+    kernel_size: int = 3
+    stride: int = 1
+    padding: int = 1
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = nn.Conv(self.out_ch, (self.kernel_size,) * 2,
+                    strides=(self.stride,) * 2, padding=self.padding,
+                    kernel_init=kaiming_conv_init, name="conv")(x)
+        return TorchBatchNorm(name="bn")(x, use_running_average=not train)
+
+
+class Conv2DBatchNormRelu(nn.Module):
+    """conv2DBatchNormRelu (unet_parts.py:105-121)."""
+    out_ch: int
+    kernel_size: int = 3
+    stride: int = 1
+    padding: int = 1
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        return nn.relu(Conv2DBatchNorm(
+            self.out_ch, self.kernel_size, self.stride, self.padding,
+            name="cb")(x, train=train))

@@ -39,6 +39,18 @@ def bn_scale_init(key, shape, dtype=jnp.float32):
     return 1.0 + 0.02 * jax.random.normal(key, shape, dtype)
 
 
+def _apply_last_act(y, act):
+    """Optional head activation (reference UNet last_layer_act,
+    models/unet.py:66,90-92)."""
+    if act is None:
+        return y
+    if act == "softmax":
+        return jax.nn.softmax(y, axis=-1)
+    if act == "sigmoid":
+        return jax.nn.sigmoid(y)
+    raise NotImplementedError(f"last_layer_act {act!r}")
+
+
 def max_pool_2x2(x):
     """2x2/2 max pool on NHWC (torch MaxPool2d(2) parity: VALID, floor)."""
     return jax.lax.reduce_window(
@@ -177,6 +189,7 @@ class UNet(nn.Module):
     encoder_dropout: Optional[float] = None
     decoder_dropout: Optional[float] = None
     self_attention: bool = False
+    last_layer_act: Optional[str] = None  # 'softmax' | 'sigmoid' | None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -199,6 +212,7 @@ class UNet(nn.Module):
         y = Up(64 // fs, self.decoder_dropout, name="up3")(y, x2, train)
         y = Up(64 // fs, self.decoder_dropout, name="up4")(y, x1, train)
         y = OutConv(self.num_classes, name="outc")(y)
+        y = _apply_last_act(y, self.last_layer_act)
         return jnp.moveaxis(y, -1, 1)  # NHWC -> NCHW
 
 

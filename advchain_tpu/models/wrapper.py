@@ -105,6 +105,29 @@ class SegmentationModel:
             mutable=["batch_stats"])
         return out, mutated.get("batch_stats", batch_stats)
 
+    # ----------------------------------------- reference model utilities
+    def init_bn(self):
+        """Reset all BN running stats to (0, 1) — reference UNet.init_bn
+        (models/unet.py:124-130)."""
+        def reset(path, v):
+            name = path[-1].key if path else ""
+            if name == "mean":
+                return jnp.zeros_like(v)
+            if name == "var":
+                return jnp.ones_like(v)
+            return v
+        self.batch_stats = jax.tree_util.tree_map_with_path(
+            reset, self.batch_stats)
+
+    def fix_params_mask(self, trainable_substrings=("outc",)):
+        """Optax-style mask pytree: True = trainable.  The JAX analogue of
+        reference fix_params / fix_conv_params (models/unet.py:132-168):
+        use with ``optax.masked(optimizer, mask)``."""
+        def mask(path, v):
+            keys = "/".join(getattr(k, "key", str(k)) for k in path)
+            return any(s in keys for s in trainable_substrings)
+        return jax.tree_util.tree_map_with_path(mask, self.params)
+
     def replace(self, params=None, batch_stats=None):
         m = SegmentationModel(self.module,
                               params if params is not None else self.params,

@@ -113,3 +113,39 @@ def test_unet3d_blocks():
     skip = _x(1, 8, 8, 8, 4, seed=4)
     up = _init_apply(UnetUp3(8, z_scale_factor=2), skip, lo)
     assert up.shape == (1, 8, 8, 8, 8)
+
+
+def test_domain_blocks_and_simple_convs():
+    from advchain_tpu.models import (DomainDoubleConv, DomainInConv,
+                                     DomainPoolDown, DomainUp, UnetConv2,
+                                     Conv2DBatchNorm, Conv2DBatchNormRelu)
+    x = _x(2, 16, 16, 8)
+    m = DomainDoubleConv(12, num_domains=3)
+    v = m.init(jax.random.PRNGKey(0), x, 0)
+    y0 = m.apply(v, x, 0)
+    assert y0.shape == (2, 16, 16, 12)
+    # different domain banks share convs but differ after BN training drift:
+    # at init the banks are identical, so outputs match
+    y1 = m.apply(v, x, 1)
+    np.testing.assert_allclose(np.asarray(y0), np.asarray(y1), atol=1e-6)
+    # 3 domains -> 3 independent norm banks in params
+    assert "norm_1_2" in v["params"]
+    assert _init_apply(DomainInConv(12, 2), x,
+                       method_kwargs={"domain_id": 1}).shape == (2, 16, 16, 12)
+    assert _init_apply(DomainPoolDown(12, 2), x,
+                       method_kwargs={"domain_id": 0}).shape == (2, 8, 8, 12)
+    lo = _x(2, 8, 8, 16, seed=5)
+    assert _init_apply(DomainUp(12, 2), lo, x,
+                       method_kwargs={"domain_id": 1}).shape == (2, 16, 16, 12)
+    assert _init_apply(UnetConv2(10), x).shape == (2, 16, 16, 10)
+    assert _init_apply(Conv2DBatchNorm(10), x).shape == (2, 16, 16, 10)
+    assert _init_apply(Conv2DBatchNormRelu(10), x).shape == (2, 16, 16, 10)
+
+
+def test_unet_last_layer_act():
+    from advchain_tpu.models import UNet, SegmentationModel
+    m = SegmentationModel.create(
+        UNet(num_classes=4, feature_scale=16, last_layer_act="softmax"),
+        (1, 1, 32, 32))
+    y = np.asarray(m.predict(jnp.zeros((1, 1, 32, 32))))
+    np.testing.assert_allclose(y.sum(axis=1), 1.0, atol=1e-5)
