@@ -112,8 +112,9 @@ class ComposeAdversarialTransformSolver:
             params_in = (tuple(t.param for t in self.chain_of_transforms)
                          if warm else None)
             (params, dist, adv_data, adv_output, warped_back_adv_output,
-             init_output, inner_dists) = fn(seed, data, params_in,
-                                            init_output)
+             init_output, inner_dists, pseudo_label) = fn(
+                seed, data, params_in, init_output)
+            self.pseudo_label = pseudo_label
             for t, p in zip(self.chain_of_transforms, params):
                 t.param = p
                 t.is_training = False
@@ -514,9 +515,15 @@ class ComposeAdversarialTransformSolver:
                 final = self._final_loss_math(model_fn)
                 dist, adv_data, adv_output, warped = final(
                     params, data, init_output)
+                # pseudo-labels for get_adv_data: init predictions pushed
+                # through the (geometric) chain (reference :461-462)
+                eval_flags = (False,) * len(transforms)
+                auxs = self._precompute_chain(transforms, params, eval_flags)
+                pseudo_label = self._predict_forward_pure(
+                    transforms, params, init_output, eval_flags, auxs)
                 return (params, dist, adv_data, adv_output, warped,
                         init_output, jnp.stack(dists) if dists else
-                        jnp.zeros((0,)))
+                        jnp.zeros((0,)), pseudo_label)
 
             self._step_cache[key] = jax.jit(episode)
         return self._step_cache[key]
@@ -636,14 +643,29 @@ class ComposeAdversarialTransformSolver:
                      volume_preserve_tolerance: float = 5e-4):
         """Return (augmented_data, augmented_label) pseudo-label pairs
         (reference adv_compose_solver.py:435-463)."""
-        if hasattr(model, "begin_episode"):
-            model.begin_episode()
-        if init_output is None:
-            init_output = self.get_init_output(model, data)
         if optimize_flags is None:
             optimize_flags = [True] * len(self.chain_of_transforms)
         if step_sizes is None:
             step_sizes = [1.0] * len(self.chain_of_transforms)
+        if anatomy_mask_images is None:
+            # fused fast path: one device program (fresh random init, PGD,
+            # final apply, pseudo-label warp)
+            flags = self._normalize_flags(optimize_flags,
+                                          n_iter if n_iter > 0 else 0)
+            steps = self._normalize_step_sizes(step_sizes)
+            fn = self._get_episode_fn(model, flags, steps, n_iter,
+                                      warm=False, data_shape=data.shape)
+            (params, _dist, adv_data, _o, _w, init_out, _d,
+             pseudo_label) = fn(self._next_episode_seed(), data, None,
+                                init_output)
+            for t, p in zip(self.chain_of_transforms, params):
+                t.param = p
+                t.is_training = False
+            return adv_data, pseudo_label
+        if hasattr(model, "begin_episode"):
+            model.begin_episode()
+        if init_output is None:
+            init_output = self.get_init_output(model, data)
         self.init_random_transformation(
             lazy_load=False, anatomy_mask_images=anatomy_mask_images,
             volume_preserve_tolerance=volume_preserve_tolerance)

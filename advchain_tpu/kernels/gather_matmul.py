@@ -101,17 +101,20 @@ def corner_gather(img, idx, offsets: Tuple[int, ...]):
             oh = (pix[:, None] - base == lane).astype(jnp.float32)
             rhs = img_ref[0, :, :, pl.ds(base, _CH)]  # (K, C, CH)
             rhs = rhs.reshape(k * c, _CH)
+            # (K*C, CH) @ (PT, CH)^T -> (K*C, PT): keeping PT on the minor
+            # (lane) dim makes the VMEM accumulator and HBM write tile-dense
+            # (a (PT, K*C) layout pads lanes K*C -> 128)
             return acc + jax.lax.dot_general(
-                oh, rhs, (((1,), (1,)), ((), ())),
+                rhs, oh, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32)
 
         acc = jax.lax.fori_loop(
-            lo, hi, body, jnp.zeros((_PT, k * c), jnp.float32))
+            lo, hi, body, jnp.zeros((k * c, _PT), jnp.float32))
         out_ref[0, 0] = acc
 
     out = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((n, n_tiles, _PT, k * c),
+        out_shape=jax.ShapeDtypeStruct((n, n_tiles, k * c, _PT),
                                        jnp.float32),
         grid=(n, n_tiles),
         in_specs=[
@@ -120,13 +123,15 @@ def corner_gather(img, idx, offsets: Tuple[int, ...]):
             pl.BlockSpec((1, k, c, sp), lambda i, j: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, 1, _PT, k * c), lambda i, j: (i, j, 0, 0),
+        out_specs=pl.BlockSpec((1, 1, k * c, _PT), lambda i, j: (i, j, 0, 0),
                                memory_space=pltpu.VMEM),
         interpret=_interpret(),
     )(idx_3d, img_k)
-    # (N, T, PT, K*C) -> (N, P, K, C) -> (N, C, P, K)
-    out = out.reshape(n, p, k, c)[:, :p_orig]
-    return jnp.moveaxis(out, 3, 1)
+    # (N, T, K, C, PT) -> (N, C, P, K)
+    out = out.reshape(n, n_tiles, k, c, _PT)
+    out = jnp.moveaxis(out, (2, 3), (4, 1))  # (N, C, T, PT, K)
+    out = out.reshape(n, c, p, k)[:, :, :p_orig]
+    return out
 
 
 @functools.partial(jax.jit, static_argnames=("offsets", "s_out"))

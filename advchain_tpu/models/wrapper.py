@@ -24,20 +24,29 @@ class SegmentationModel:
     training/inference entry points for user loops."""
 
     def __init__(self, module, params, batch_stats=None, rng=None,
-                 use_batch_stats_in_solver: bool = True):
+                 use_batch_stats_in_solver: bool = True,
+                 compute_dtype=None):
         self.module = module
         self.params = params
         self.batch_stats = batch_stats or {}
         self._base_rng = rng if rng is not None else jax.random.PRNGKey(0)
         self._episode_rng = self._base_rng
         self.use_batch_stats_in_solver = use_batch_stats_in_solver
+        # opt-in speed mode: cast params + activations to e.g. bfloat16 for
+        # the network forward/backward (halves HBM traffic on the UNet, the
+        # episode's floor cost); outputs are returned in float32.  Off by
+        # default — the <1e-3 reference-parity guarantee holds only in f32.
+        self.compute_dtype = compute_dtype
         # jit once per (train-mode, structure); params/rng are traced args so
         # episodes and updated weights reuse the same executable
         self._jit_apply = jax.jit(
-            lambda v, x, rng: self.module.apply(
-                v, x, train=True, rngs={"dropout": rng}, mutable=False))
+            lambda v, x, rng: self._cast_out(self.module.apply(
+                self._cast_in(v), self._cast_in(x), train=True,
+                rngs={"dropout": rng}, mutable=False)))
         self._jit_predict = jax.jit(
-            lambda v, x: self.module.apply(v, x, train=False, mutable=False))
+            lambda v, x: self._cast_out(self.module.apply(
+                self._cast_in(v), self._cast_in(x), train=False,
+                mutable=False)))
 
     # -------------------------------------------------------- construction
     @classmethod
@@ -57,6 +66,17 @@ class SegmentationModel:
             v["batch_stats"] = self.batch_stats
         return v
 
+    def _cast_in(self, tree):
+        if self.compute_dtype is None:
+            return tree
+        dt = self.compute_dtype
+        return jax.tree_util.tree_map(
+            lambda a: a.astype(dt) if hasattr(a, "dtype")
+            and a.dtype == jnp.float32 else a, tree)
+
+    def _cast_out(self, y):
+        return y.astype(jnp.float32) if self.compute_dtype is not None else y
+
     # ------------------------------------------------------ solver contract
     def begin_episode(self, key=None):
         """Redraw the fixed dropout mask for a new adversarial episode."""
@@ -72,9 +92,10 @@ class SegmentationModel:
         fall through to the plain apply so the op inlines into the caller's
         program instead of nesting jits."""
         if isinstance(x, jax.core.Tracer):
-            return self.module.apply(
-                self._variables(), x, train=self.use_batch_stats_in_solver,
-                rngs={"dropout": self._episode_rng}, mutable=False)
+            return self._cast_out(self.module.apply(
+                self._cast_in(self._variables()), self._cast_in(x),
+                train=self.use_batch_stats_in_solver,
+                rngs={"dropout": self._episode_rng}, mutable=False))
         return self._jit_apply(self._variables(), x, self._episode_rng)
 
     def apply_fixed(self, x, dropout_rng):
@@ -82,9 +103,10 @@ class SegmentationModel:
         the solver's fused episode program so the key is a traced argument
         (a closure-captured key would be baked into the cached executable
         as a constant and never change across episodes)."""
-        return self.module.apply(
-            self._variables(), x, train=self.use_batch_stats_in_solver,
-            rngs={"dropout": dropout_rng}, mutable=False)
+        return self._cast_out(self.module.apply(
+            self._cast_in(self._variables()), self._cast_in(x),
+            train=self.use_batch_stats_in_solver,
+            rngs={"dropout": dropout_rng}, mutable=False))
 
     # --------------------------------------------------------- user loops
     def predict(self, x):
