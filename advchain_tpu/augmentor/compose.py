@@ -339,7 +339,11 @@ class ComposeAdversarialTransformSolver:
                 if has_geo:
                     warped_back = self._predict_backward_pure(
                         transforms, full, perturbed, train_flags, auxs)
-                    ones = jnp.ones_like(init_output)
+                    # the validity mask is C identical channels; warp ONE
+                    # channel and let the losses broadcast it
+                    ones = jnp.ones(init_output.shape[:1] + (1,)
+                                    + init_output.shape[2:],
+                                    init_output.dtype)
                     fb_mask = self._predict_backward_pure(
                         transforms, full,
                         self._predict_forward_pure(transforms, full, ones,
@@ -437,7 +441,8 @@ class ComposeAdversarialTransformSolver:
                                               eval_flags, auxs)
             adv_output = model_fn(jax.lax.stop_gradient(adv_data))
             if has_geo:
-                ones = jnp.ones_like(init_output)
+                ones = jnp.ones(init_output.shape[:1] + (1,)
+                                + init_output.shape[2:], init_output.dtype)
                 fwd = self._predict_forward_pure(transforms, params, ones,
                                                  eval_flags, auxs)
                 fb_mask = self._predict_backward_pure(transforms, params,

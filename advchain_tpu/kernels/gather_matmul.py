@@ -300,8 +300,15 @@ def grid_sample_2d_pallas(x, grid, padding_mode: str = "zeros",
 def grid_sample_3d_pallas(x, grid, padding_mode: str = "zeros",
                           align_corners: bool = True):
     """Trilinear 3D grid sample (torch semantics) on the Pallas path.
-    x: (N, C, D, H, W); grid: (N, Do, Ho, Wo, 3) with torch channel order
-    (grid[..., 0] indexes W, [..., 1] H, [..., 2] D)."""
+
+    x: (N, C, D, H, W); grid: (N, Do, Ho, Wo, 3), torch channel order
+    (grid[..., 0] -> W, [..., 1] -> H, [..., 2] -> D).
+
+    Formulated as FOUR (z, y) base indices x TWO x-taps so the kernel needs
+    only K=2 pre-shifted volume copies (8 copies of a 3D volume would blow
+    VMEM) and each index sub-tile stays window-coherent: the bases are
+    concatenated along the pixel axis of one corner_gather call.
+    """
     from advchain_tpu.ops.grid_sample import _prep_coord
 
     n, c, d, h, w = x.shape
@@ -326,61 +333,32 @@ def grid_sample_3d_pallas(x, grid, padding_mode: str = "zeros",
         return jnp.ones_like(fx)
 
     x0c = jnp.clip(x0, 0, w - 1)
-    y0c = jnp.clip(y0, 0, h - 1)
-    z0c = jnp.clip(z0, 0, d - 1)
-    dxf = (jnp.clip(x0 + 1, 0, w - 1) - x0c).astype(jnp.float32)
-    dyf = (jnp.clip(y0 + 1, 0, h - 1) - y0c).astype(jnp.float32)
-    dzf = (jnp.clip(z0 + 1, 0, d - 1) - z0c).astype(jnp.float32)
-    base = ((z0c * h + y0c) * w + x0c).astype(jnp.int32)
-
-    # raw trilinear weights per corner (dz, dy, dx) with OOB masks
-    offsets = []
-    weights = []
+    x1c = jnp.clip(x0 + 1, 0, w - 1)
+    dxf = (x1c - x0c).astype(jnp.float32)  # 0.0/1.0: x tap distinct?
+    ys = [jnp.clip(y0, 0, h - 1), jnp.clip(y0 + 1, 0, h - 1)]
+    zs = [jnp.clip(z0, 0, d - 1), jnp.clip(z0 + 1, 0, d - 1)]
     hw = h * w
+
+    bases = []
+    w0s = []
+    w1s = []
     for dz in (0, 1):
         for dy in (0, 1):
-            for dx in (0, 1):
-                wgt = ((fx if dx else 1 - fx) * (fy if dy else 1 - fy)
-                       * (fz if dz else 1 - fz)
-                       * inb(x0 + dx, y0 + dy, z0 + dz))
-                # fold clipped-collapsed taps onto the base-offset taps
-                fold = ((dxf if dx else 1.0) * (dyf if dy else 1.0)
-                        * (dzf if dz else 1.0))
-                offsets.append(dz * hw + dy * w + dx)
-                weights.append((wgt, dx, dy, dz, fold))
+            base = (zs[dz] * h + ys[dy]) * w + x0c
+            wyz = ((fy if dy else 1 - fy) * (fz if dz else 1 - fz))
+            w_x0 = (1 - fx) * wyz * inb(x0, y0 + dy, z0 + dz)
+            w_x1 = fx * wyz * inb(x0 + 1, y0 + dy, z0 + dz)
+            # fold x-collapsed taps (clipped x1 == x0) into the base tap
+            bases.append(base.astype(jnp.int32))
+            w0s.append(w_x0 + w_x1 * (1 - dxf))
+            w1s.append(w_x1 * dxf)
 
-    # accumulate folded weights per physical offset: a tap whose clipped
-    # coordinate collapses contributes at the collapsed (smaller) offset
-    planes = {off: jnp.zeros_like(fx) for off in
-              sorted({dz * hw + dy * w + dx for dz in (0, 1)
-                      for dy in (0, 1) for dx in (0, 1)})}
-    for (wgt, dx, dy, dz, _), _off in zip(weights, offsets):
-        # destination offset after collapse: component included only if the
-        # clipped +1 coordinate is distinct
-        ex = dxf * dx
-        ey = dyf * dy
-        ez = dzf * dz
-        # ex/ey/ez are 0.0/1.0 arrays -> distribute weight between collapsed
-        # and non-collapsed targets exactly (value identical either way when
-        # collapsed, but the target offset must exist in `planes`)
-        for tx in (0, 1):
-            px = (ex if tx else 1 - ex) if dx else (1.0 if tx == 0 else 0.0)
-            if isinstance(px, float) and px == 0.0:
-                continue
-            for ty in (0, 1):
-                py = (ey if ty else 1 - ey) if dy else                     (1.0 if ty == 0 else 0.0)
-                if isinstance(py, float) and py == 0.0:
-                    continue
-                for tz in (0, 1):
-                    pz = (ez if tz else 1 - ez) if dz else                         (1.0 if tz == 0 else 0.0)
-                    if isinstance(pz, float) and pz == 0.0:
-                        continue
-                    off = tz * hw + ty * w + tx
-                    planes[off] = planes[off] + wgt * px * py * pz
-    offs = tuple(planes.keys())
-    wstack = jnp.stack([planes[o] for o in offs], axis=1)  # (N, 8, P)
+    idx_cat = jnp.concatenate(bases, axis=1)          # (N, 4P)
+    weights = jnp.stack([jnp.concatenate(w0s, axis=1),
+                         jnp.concatenate(w1s, axis=1)], axis=1)  # (N, 2, 4P)
 
-    out = _weighted_corner_sample(
+    out4 = _weighted_corner_sample(
         x.reshape(n, c, d * h * w).astype(jnp.float32),
-        (base, wstack.astype(jnp.float32)), offs, d * h * w)
+        (idx_cat, weights.astype(jnp.float32)), (0, 1), d * h * w)
+    out = out4.reshape(n, c, 4, p).sum(axis=2)
     return out.reshape(n, c, do, ho, wo).astype(x.dtype)

@@ -187,7 +187,10 @@ def calc_segmentation_consistency(output, reference,
                 input_pred = jax.nn.softmax(out_s, axis=1)
                 loss = jnp.mean((target_pred * mask_s
                                  - input_pred * mask_s) ** 2)
-                loss = loss / (mask_s.size / num_classes)
+                # divisor: numel(mask)/C in the reference where the mask is
+                # always full-channel; expressed via the output so masks may
+                # be broadcast over channels (identical value either way)
+                loss = loss / (out_s.size / num_classes)
             elif divergence_type == "contour":
                 target_pred = ref_s if is_gt else jax.nn.softmax(ref_s, axis=1)
                 input_pred = jax.nn.softmax(out_s, axis=1)

@@ -134,7 +134,8 @@ def make_adversarial_train_step(
             net = _frozen_apply(model, params, state.batch_stats, k_drop)
             adv_out = net(adv_data)
             if has_geo:
-                ones = jnp.ones_like(init_output)
+                ones = jnp.ones(init_output.shape[:1] + (1,)
+                                + init_output.shape[2:], init_output.dtype)
                 fwd = solver._predict_forward_pure(transforms, t_params,
                                                    ones, eval_flags, auxs)
                 fb_mask = solver._predict_backward_pure(transforms, t_params,
