@@ -142,12 +142,14 @@ def bench_torch_reference():
                 power_iteration="smart", step_sizes=1.0)
 
         once()  # warm caches
-        reps = 2
-        t0 = time.perf_counter()
-        for _ in range(reps):
+        # per-rep MAX throughput: most favorable to the reference (shields
+        # the ratio from transient CPU contention on the shared host)
+        best = 0.0
+        for _ in range(3):
+            t0 = time.perf_counter()
             once()
-        dt = (time.perf_counter() - t0) / reps
-        return b / dt
+            best = max(best, b / (time.perf_counter() - t0))
+        return best
     finally:
         sys.path.pop(0)
 
