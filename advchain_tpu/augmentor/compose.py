@@ -104,8 +104,16 @@ class ComposeAdversarialTransformSolver:
             # FAST PATH: the whole episode (reference fwd, random init or
             # warm start, PGD loop, projection, final loss) is one cached
             # device program -> a single dispatch.
-            warm = bool(lazy_load) and all(
-                t.param is not None for t in self.chain_of_transforms)
+            if lazy_load:
+                # reference lazy semantics: init ONLY missing params, keep
+                # caller-provided ones (then warm-start the episode)
+                missing = [t for t in self.chain_of_transforms
+                           if t.param is None]
+                for t in missing:
+                    t.init_parameters()
+                warm = True
+            else:
+                warm = False
             fn = self._get_episode_fn(model, optimize_flags, step_sizes,
                                       n_iter, warm, data.shape)
             seed = self._next_episode_seed()
@@ -113,7 +121,8 @@ class ComposeAdversarialTransformSolver:
                          if warm else None)
             (params, dist, adv_data, adv_output, warped_back_adv_output,
              init_output, inner_dists, pseudo_label) = fn(
-                seed, data, params_in, init_output)
+                seed, data, params_in, init_output,
+                self._model_variables(model))
             self.pseudo_label = pseudo_label
             for t, p in zip(self.chain_of_transforms, params):
                 t.param = p
@@ -421,12 +430,37 @@ class ComposeAdversarialTransformSolver:
             self._step_cache[key] = jax.jit(project_all)
         return self._step_cache[key]
 
-    def _model_call(self, model, x, dropout_key=None):
-        """Route a frozen-network forward; models exposing ``apply_fixed``
-        get the dropout key as a traced argument."""
+    def _model_call(self, model, x, dropout_key=None, variables=None):
+        """Route a frozen-network forward.  When the model exposes Flax
+        variables they are passed as TRACED arguments (``variables``) so the
+        cached episode executable follows weight updates — a closure would
+        bake the weights in as constants.  ``dropout_key`` likewise."""
+        if variables is not None and hasattr(model, "module"):
+            rngs = ({"dropout": dropout_key}
+                    if dropout_key is not None else None)
+            return model.module.apply(
+                variables, x,
+                train=getattr(model, "use_batch_stats_in_solver", True),
+                rngs=rngs, mutable=False)
         if dropout_key is not None and hasattr(model, "apply_fixed"):
             return model.apply_fixed(x, dropout_key)
         return self.get_net_output(model, x)
+
+    @staticmethod
+    def _model_cache_key(model):
+        """Stable identity for the program cache: the Flax module for
+        wrappers (weights are traced arguments, so params updates reuse the
+        executable); object id for plain callables (their weights are baked
+        as constants — rebuild the callable and you pay a retrace)."""
+        if hasattr(model, "module"):
+            return ("module", id(model.module))
+        return ("callable", id(model))
+
+    @staticmethod
+    def _model_variables(model):
+        if hasattr(model, "_variables"):
+            return model._variables()
+        return None
 
     def _final_loss_math(self, model_fn):
         """Raw final consistency pass (calc_adv_consistency_loss's math):
@@ -465,11 +499,12 @@ class ComposeAdversarialTransformSolver:
         return final
 
     def _get_final_loss_fn(self, model, data_shape):
-        key = ("final", id(model), tuple(data_shape),
+        key = ("final", self._model_cache_key(model), tuple(data_shape),
                tuple(type(t).__name__ for t in self.chain_of_transforms))
         if key not in self._step_cache:
-            self._step_cache[key] = jax.jit(
-                self._final_loss_math(lambda x: self.get_net_output(model, x)))
+            raw = self._final_loss_math(
+                lambda x, mv=None: self._model_call(model, x))
+            self._step_cache[key] = jax.jit(raw)
         return self._step_cache[key]
 
     def _get_episode_fn(self, model, optimize_flags, step_sizes, n_iter,
@@ -479,7 +514,8 @@ class ComposeAdversarialTransformSolver:
         the n_iter PGD inner loop, projection, and the final consistency
         pass.  On remote/tunneled TPU runtimes every eager dispatch costs
         20-90 ms; this brings an episode down to a single dispatch."""
-        key = ("episode", id(model), tuple(optimize_flags),
+        key = ("episode", self._model_cache_key(model),
+               tuple(optimize_flags),
                tuple(step_sizes), int(n_iter), bool(warm),
                tuple(data_shape),
                tuple(t.power_iteration for t in self.chain_of_transforms),
@@ -489,11 +525,13 @@ class ComposeAdversarialTransformSolver:
             flags = tuple(bool(f) for f in optimize_flags)
             steps = tuple(float(s) for s in step_sizes)
 
-            def episode(seed, data, params_in, init_output_in):
+            def episode(seed, data, params_in, init_output_in,
+                        model_vars):
                 data = jax.lax.stop_gradient(data)
                 base = jax.random.PRNGKey(seed)
                 k_drop, k_init = jax.random.split(base)
-                model_fn = lambda x: self._model_call(model, x, k_drop)
+                model_fn = lambda x: self._model_call(model, x, k_drop,
+                                                      model_vars)
                 if init_output_in is None:
                     init_output = jax.lax.stop_gradient(model_fn(data))
                 else:
@@ -535,7 +573,8 @@ class ComposeAdversarialTransformSolver:
 
     def _get_pgd_step(self, model, optimize_flags, step_sizes, use_anatomy,
                       anatomy_reg_weight, data_shape):
-        key = (id(model), tuple(optimize_flags), tuple(step_sizes),
+        key = (self._model_cache_key(model), tuple(optimize_flags),
+               tuple(step_sizes),
                bool(use_anatomy), float(anatomy_reg_weight),
                tuple(data_shape),
                tuple(t.power_iteration for t in self.chain_of_transforms),
@@ -602,6 +641,10 @@ class ComposeAdversarialTransformSolver:
                         self.init_random_transformation(
                             anatomy_mask_images=anatomy_mask_images,
                             volume_preserve_tolerance=volume_preserve_tolerance)
+                        # keep the fallback's random params — the final
+                        # write-back below must not restore the rejected
+                        # optimized ones (reference :385-387 keeps these)
+                        params = [t.param for t in self.chain_of_transforms]
                     else:
                         if i_iter == 2 * one_time_iter:
                             self.init_random_transformation(
@@ -662,7 +705,7 @@ class ComposeAdversarialTransformSolver:
                                       warm=False, data_shape=data.shape)
             (params, _dist, adv_data, _o, _w, init_out, _d,
              pseudo_label) = fn(self._next_episode_seed(), data, None,
-                                init_output)
+                                init_output, self._model_variables(model))
             for t, p in zip(self.chain_of_transforms, params):
                 t.param = p
                 t.is_training = False

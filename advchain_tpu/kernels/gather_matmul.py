@@ -51,10 +51,8 @@ _CH = 512
 
 def _interpret() -> bool:
     # pallas TPU kernels only compile on TPU; CPU runs use interpret mode
-    dd = jax.config.jax_default_device
-    if dd is not None:
-        return getattr(dd, "platform", None) != "tpu"
-    return jax.default_backend() != "tpu"
+    from advchain_tpu.ops.grid_sample import _on_tpu_device
+    return not _on_tpu_device()
 
 
 def _pad_to(x, mult: int, axis: int, value=0):
@@ -74,6 +72,7 @@ def corner_gather(img, idx, offsets: Tuple[int, ...]):
     Reads past S hit zero padding (call sites zero those taps' weights)."""
     n, c, s = img.shape
     k = len(offsets)
+    assert min(offsets) >= 0, "corner offsets must be non-negative"
     max_off = max(offsets)
     img_p, _ = _pad_to(img, _CH, axis=2)
     # Mosaic requires lane-aligned loads; corner shifts become K pre-shifted
@@ -139,6 +138,7 @@ def corner_scatter(g, idx, offsets: Tuple[int, ...], s_out: int):
     """Transpose of corner_gather: g (N, C, P, K), idx (N, P) ->
     dimg (N, C, s_out) with dimg[idx + offsets[k]] += g[..., k]."""
     n, c, p0, k = g.shape
+    assert min(offsets) >= 0, "corner offsets must be non-negative"
     idx_p, _ = _pad_to(idx, _PT, axis=1, value=-10 ** 8)  # pad misses all
     p = idx_p.shape[1]
     idx_3d = idx_p.reshape(n, 1, p)
@@ -276,7 +276,8 @@ def grid_sample_2d_pallas(x, grid, padding_mode: str = "zeros",
     y1c = jnp.clip(y0 + 1, 0, h - 1)
     dxf = (x1c - x0c).astype(jnp.float32)  # 0.0 or 1.0
     dyf = (y1c - y0c).astype(jnp.float32)
-    base = (y0c * w + x0c).astype(jnp.int32)
+    # integer index arithmetic: float32 combine loses exactness above 2^24
+    base = y0c.astype(jnp.int32) * w + x0c.astype(jnp.int32)
 
     w00 = (1 - fx) * (1 - fy) * inb(x0, y0)
     w01 = fx * (1 - fy) * inb(x0 + 1, y0)
@@ -344,12 +345,14 @@ def grid_sample_3d_pallas(x, grid, padding_mode: str = "zeros",
     w1s = []
     for dz in (0, 1):
         for dy in (0, 1):
-            base = (zs[dz] * h + ys[dy]) * w + x0c
+            base = ((zs[dz].astype(jnp.int32) * h
+                     + ys[dy].astype(jnp.int32)) * w
+                    + x0c.astype(jnp.int32))
             wyz = ((fy if dy else 1 - fy) * (fz if dz else 1 - fz))
             w_x0 = (1 - fx) * wyz * inb(x0, y0 + dy, z0 + dz)
             w_x1 = fx * wyz * inb(x0 + 1, y0 + dy, z0 + dz)
             # fold x-collapsed taps (clipped x1 == x0) into the base tap
-            bases.append(base.astype(jnp.int32))
+            bases.append(base)
             w0s.append(w_x0 + w_x1 * (1 - dxf))
             w1s.append(w_x1 * dxf)
 

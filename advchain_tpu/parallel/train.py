@@ -119,37 +119,16 @@ def make_adversarial_train_step(
                              for t, p, f in zip(transforms, t_params, flags))
         t_params = jax.lax.stop_gradient(t_params)
 
-        # final losses w.r.t. model params (deformation fields / matrices
-        # precomputed once and shared across data/mask/prediction paths)
-        eval_flags = (False,) * len(transforms)
-        auxs = jax.lax.stop_gradient(
-            solver._precompute_chain(transforms, t_params, eval_flags))
-        adv_data = jax.lax.stop_gradient(solver._chain_apply_pure(
-            transforms, t_params, image, eval_flags, auxs))
-
         def loss_fn(params):
             logits, new_bs = model.apply_train(params, state.batch_stats,
                                                image, k_drop)
             sup = supervised_loss_fn(logits, label)
             net = _frozen_apply(model, params, state.batch_stats, k_drop)
-            adv_out = net(adv_data)
-            if has_geo:
-                ones = jnp.ones(init_output.shape[:1] + (1,)
-                                + init_output.shape[2:], init_output.dtype)
-                fwd = solver._predict_forward_pure(transforms, t_params,
-                                                   ones, eval_flags, auxs)
-                fb_mask = solver._predict_backward_pure(transforms, t_params,
-                                                        fwd, eval_flags,
-                                                        auxs)
-                fb_mask = jnp.where(fb_mask != 0, jnp.ones_like(fb_mask),
-                                    fb_mask)
-                warped = solver._predict_backward_pure(transforms, t_params,
-                                                       adv_out, eval_flags,
-                                                       auxs)
-                cons = solver.loss_fn(pred=warped, reference=init_output,
-                                      mask=fb_mask)
-            else:
-                cons = solver.loss_fn(pred=adv_out, reference=init_output)
+            # the final consistency pass is the solver's own math (chain
+            # apply + mask roundtrip + divergence, with shared precomputed
+            # deformation fields) — single source of truth
+            cons, _adv_data, _adv_out, _warped = solver._final_loss_math(
+                net)(t_params, image, init_output)
             total = sup + consistency_weight * cons
             return total, (new_bs, sup, cons)
 

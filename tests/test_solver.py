@@ -223,3 +223,54 @@ def test_step_cache_reused():
         solver.adversarial_training(data=data, model=model, n_iter=1)
     # repeated identical calls must not build new programs
     assert len(solver._step_cache) == n_programs
+
+
+def test_episode_follows_model_weight_updates():
+    """Updating SegmentationModel.params between adversarial_training calls
+    must affect the cached episode program (weights are traced args, not
+    baked constants)."""
+    from advchain_tpu.models import UNet, SegmentationModel
+    size = [2, 1, 32, 32]
+    m = SegmentationModel.create(UNet(num_classes=4, feature_scale=16),
+                                 tuple(size))
+    chain = [AdvNoise(config_dict={"epsilon": 0.3, "xi": 1e-6,
+                                   "data_size": size}, seed=20)]
+    solver = ComposeAdversarialTransformSolver(
+        chain_of_transforms=chain, divergence_types=["mse"],
+        divergence_weights=[1.0])
+    data = make_data()
+    d1 = float(solver.adversarial_training(data=data, model=m, n_iter=1))
+    out1 = np.asarray(solver.init_output)
+    # scale every weight: the reference predictions must change
+    m.params = jax.tree_util.tree_map(lambda a: a * 1.5, m.params)
+    d2 = float(solver.adversarial_training(data=data, model=m, n_iter=1))
+    out2 = np.asarray(solver.init_output)
+    assert not np.allclose(out1, out2), "episode used stale baked weights"
+    # and the executable was reused (no new cache entries)
+    n_entries = len(solver._step_cache)
+    m.params = jax.tree_util.tree_map(lambda a: a * 0.9, m.params)
+    solver.adversarial_training(data=data, model=m, n_iter=1)
+    assert len(solver._step_cache) == n_entries
+
+
+def test_lazy_load_partial_init_keeps_existing_params():
+    """lazy_load must keep caller-provided params and init only missing ones
+    (reference adv_compose_solver.py:487-492)."""
+    size = [2, 1, 32, 32]
+    t1 = AdvNoise(config_dict={"epsilon": 0.3, "xi": 1e-6,
+                               "data_size": size}, seed=21)
+    t2 = AdvAffine(config_dict={"rot": 0.1, "scale_x": 0.1, "scale_y": 0.1,
+                                "shift_x": 0.1, "shift_y": 0.1,
+                                "data_size": size}, seed=22)
+    solver = ComposeAdversarialTransformSolver(
+        chain_of_transforms=[t1, t2], divergence_types=["mse"],
+        divergence_weights=[1.0])
+    fixed = jnp.ones(tuple(size)) * 0.01
+    t1.set_parameters(fixed)
+    assert t2.param is None
+    model = make_model()
+    solver.adversarial_training(data=make_data(), model=model, n_iter=0,
+                                lazy_load=True)
+    np.testing.assert_allclose(np.asarray(t1.param), np.asarray(fixed),
+                               atol=1e-7)
+    assert t2.param is not None
