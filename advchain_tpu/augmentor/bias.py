@@ -97,9 +97,10 @@ class AdvBias(AdvTransformBase):
         field = clip_bias(field, self.magnitude)
         self._stash("bias_field", field)  # parity with reference debug use
         out = field * data
-        if self.ignore_values is not None:
-            if isinstance(self.ignore_values, float):
-                out = mask_ignore_values(data, out, self.ignore_values)
+        if self.ignore_values is not None and \
+                isinstance(self.ignore_values, (int, float)) and \
+                not isinstance(self.ignore_values, bool):
+            out = mask_ignore_values(data, out, float(self.ignore_values))
         return out
 
     def precompute(self, params, training: bool = False):
@@ -113,9 +114,10 @@ class AdvBias(AdvTransformBase):
                           interp=None, padding_mode=None):
         out = aux * data
         if self.ignore_values is not None and \
-                isinstance(self.ignore_values, float):
+                isinstance(self.ignore_values, (int, float)) and \
+                not isinstance(self.ignore_values, bool):
             from advchain_tpu.augmentor.base import mask_ignore_values
-            out = mask_ignore_values(data, out, self.ignore_values)
+            out = mask_ignore_values(data, out, float(self.ignore_values))
         return out
 
     def update(self, params, grad, step_size):
@@ -133,7 +135,10 @@ class AdvBias(AdvTransformBase):
         return params
 
     def _record_diff(self, data, out):
-        return self.bias_field
+        # debug artifact (reference stashes the field as .diff); not
+        # populated when apply() ran under an outer jit trace (_stash skips
+        # tracers so no tracer leaks onto the instance)
+        return getattr(self, "bias_field", None)
 
     def get_name(self):
         return "bias"

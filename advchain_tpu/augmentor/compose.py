@@ -438,10 +438,16 @@ class ComposeAdversarialTransformSolver:
         if variables is not None and hasattr(model, "module"):
             rngs = ({"dropout": dropout_key}
                     if dropout_key is not None else None)
-            return model.module.apply(
+            if getattr(model, "compute_dtype", None) is not None:
+                variables = model._cast_in(variables)
+                x = model._cast_in(x)
+            out = model.module.apply(
                 variables, x,
                 train=getattr(model, "use_batch_stats_in_solver", True),
                 rngs=rngs, mutable=False)
+            return (out.astype(jnp.float32)
+                    if getattr(model, "compute_dtype", None) is not None
+                    else out)
         if dropout_key is not None and hasattr(model, "apply_fixed"):
             return model.apply_fixed(x, dropout_key)
         return self.get_net_output(model, x)

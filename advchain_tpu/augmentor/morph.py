@@ -122,7 +122,7 @@ class AdvMorph(AdvTransformBase):
             interp = self.forward_interp
         dxy, disp = self.get_deformation_displacement_field(
             self._duv(params, training))
-        dxy = jnp.clip(dxy, -1.0, 1.0)
+        # demons_compose already clamps the grid to [-1, 1]
         self._stash("displacement", disp)
         return self.transform(data, dxy, interp=interp,
                               padding_mode=padding_mode)
@@ -163,7 +163,6 @@ class AdvMorph(AdvTransformBase):
     def precompute(self, params, training: bool = False):
         dxy_f, disp = self.get_deformation_displacement_field(
             self._duv(params, training))
-        dxy_f = jnp.clip(dxy_f, -1.0, 1.0)
         dxy_b, _ = self.get_deformation_displacement_field(
             self._duv(params, training, negate=True))
         self._stash("displacement", disp)

@@ -116,7 +116,9 @@ def read_nifti(path):
                         dtype=dt)
     arr = arr.reshape(shape, order="F")  # NIfTI is Fortran-ordered (x,y,z)
     arr = np.transpose(arr, tuple(range(arr.ndim))[::-1])  # -> (z, y, x)
-    if scl_slope not in (0.0, 1.0):
+    # NIfTI scaling: slope==0 means "no scaling stored"; otherwise apply
+    # slope/intercept whenever they are not the identity pair
+    if scl_slope != 0.0 and (scl_slope != 1.0 or scl_inter != 0.0):
         arr = arr * scl_slope + scl_inter
     return arr
 
@@ -166,10 +168,11 @@ def load_image_label(image_path, label_path=None, slice_id: int = 0,
 
     if label_path is not None:
         label = read_medical_image(label_path)
-        full_label_shape = label.shape
         if slice_id >= 0:
             label = label[slice_id]
-        assert image.shape == label.shape or True  # shapes checked below
+        assert image.shape == label.shape, (
+            f"The sizes of the input image and label do not match, "
+            f"image:{image.shape} label:{label.shape}")
         if slice_id >= 0:
             cropped_label = label[h_diff:crop_size[0] + h_diff,
                                   w_diff:crop_size[1] + w_diff]
@@ -182,12 +185,6 @@ def load_image_label(image_path, label_path=None, slice_id: int = 0,
 
 def rescale_intensity(data, new_min=0, new_max=1, eps=1e-20):
     """Per-(sample, channel) min-max rescale of a batched NCHW array
-    (reference common/utils.py:82-95)."""
-    import jax.numpy as jnp
-    bs, c = data.shape[0], data.shape[1]
-    flat = data.reshape(bs * c, -1)
-    old_max = jnp.max(flat, axis=1, keepdims=True)
-    old_min = jnp.min(flat, axis=1, keepdims=True)
-    new = (flat - old_min) / (old_max - old_min + eps) \
-        * (new_max - new_min) + new_min
-    return new.reshape(data.shape)
+    (reference common/utils.py:82-95); delegates to ops.norms."""
+    from advchain_tpu.ops.norms import rescale_intensity as _ri
+    return _ri(data, new_min, new_max, eps, per_channel=True)
