@@ -76,7 +76,17 @@ class AdvMorph(AdvTransformBase):
 
     def demons_compose(self, duv, smooth: bool = True):
         """Velocity -> full deformation grid in [-1, 1]
-        (reference DemonsCompose, adv_morph.py:454-491)."""
+        (reference DemonsCompose, adv_morph.py:454-491).
+
+        Rematerialized under autodiff: the scaling-and-squaring chain's
+        intermediate grids are recomputed in the backward pass instead of
+        stored — without this, 3D volume episodes exceed HBM (each stored
+        phi is a full flow field, x8-16 compositions x several fields per
+        loss)."""
+        return jax.checkpoint(
+            lambda v: self._demons_compose_impl(v, smooth))(duv)
+
+    def _demons_compose_impl(self, duv, smooth: bool = True):
         grid = base_grid(duv.shape[0], self.image_spatial, dtype=duv.dtype)
         interp_mode = "bilinear" if self.spatial_dims == 2 else "trilinear"
         duv = gaussian_smooth(duv, sigma=self.sigma,

@@ -68,7 +68,8 @@ def _pad_to(x, mult: int, axis: int, value=0):
 @functools.partial(jax.jit, static_argnames=("offsets",))
 def corner_gather(img, idx, offsets: Tuple[int, ...]):
     """img: (N, C, S); idx: (N, P) int32 with 0 <= idx < S (clipped);
-    returns vals (N, C, P, K) with vals[..., k] = img[idx + offsets[k]].
+    returns vals (N, K, C, P) with vals[:, k] = img[..., idx + offsets[k]]
+    — P on the minor dim (a K-minor layout gets tile-padded 32-64x in HBM).
     Reads past S hit zero padding (call sites zero those taps' weights)."""
     n, c, s = img.shape
     k = len(offsets)
@@ -84,12 +85,11 @@ def corner_gather(img, idx, offsets: Tuple[int, ...]):
     idx_p, p_orig = _pad_to(idx, _PT, axis=1)
     p = idx_p.shape[1]
     n_tiles = p // _PT
-    idx_3d = idx_p.reshape(n, n_tiles, _PT)
+    idx_4d = idx_p.reshape(n, n_tiles, 1, _PT)
     n_chunks = sp // _CH
 
     def kernel(idx_ref, img_ref, out_ref):
-        j = pl.program_id(1)
-        pix = idx_ref[0, pl.ds(j, 1), :][0]  # (PT,)
+        pix = idx_ref[0, 0, 0, :]  # (PT,) — the j-th tile via index_map
         lane = jax.lax.broadcasted_iota(jnp.int32, (_PT, _CH), 1)
         # dynamic band window: only chunks covering [min, max] of this tile
         lo = jnp.min(pix) // _CH
@@ -117,7 +117,7 @@ def corner_gather(img, idx, offsets: Tuple[int, ...]):
                                        jnp.float32),
         grid=(n, n_tiles),
         in_specs=[
-            pl.BlockSpec((1, n_tiles, _PT), lambda i, j: (i, 0, 0),
+            pl.BlockSpec((1, 1, 1, _PT), lambda i, j: (i, j, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, k, c, sp), lambda i, j: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -125,80 +125,83 @@ def corner_gather(img, idx, offsets: Tuple[int, ...]):
         out_specs=pl.BlockSpec((1, 1, k * c, _PT), lambda i, j: (i, j, 0, 0),
                                memory_space=pltpu.VMEM),
         interpret=_interpret(),
-    )(idx_3d, img_k)
-    # (N, T, K, C, PT) -> (N, C, P, K)
+    )(idx_4d, img_k)
+    # (N, T, K, C, PT) -> (N, K, C, P)
     out = out.reshape(n, n_tiles, k, c, _PT)
-    out = jnp.moveaxis(out, (2, 3), (4, 1))  # (N, C, T, PT, K)
-    out = out.reshape(n, c, p, k)[:, :, :p_orig]
-    return out
+    out = jnp.moveaxis(out, 1, 3)  # (N, K, C, T, PT)
+    return out.reshape(n, k, c, p)[..., :p_orig]
 
 
 @functools.partial(jax.jit, static_argnames=("offsets", "s_out"))
 def corner_scatter(g, idx, offsets: Tuple[int, ...], s_out: int):
-    """Transpose of corner_gather: g (N, C, P, K), idx (N, P) ->
-    dimg (N, C, s_out) with dimg[idx + offsets[k]] += g[..., k]."""
-    n, c, p0, k = g.shape
+    """Transpose of corner_gather: g (N, K, C, P), idx (N, P) ->
+    dimg (N, C, s_out) with dimg[:, k] scattered at idx + offsets[k].
+
+    The pixel axis is STREAMED as a third grid dimension (p-tiles of the
+    idx/grad blocks), accumulating into the VMEM-resident output chunk —
+    whole-P blocks OOM VMEM for 3D volumes.  Per-p-tile index ranges (SMEM
+    scalars) skip tiles that cannot touch the current source chunk.
+    """
+    n, k, c, p0 = g.shape
     assert min(offsets) >= 0, "corner offsets must be non-negative"
     idx_p, _ = _pad_to(idx, _PT, axis=1, value=-10 ** 8)  # pad misses all
     p = idx_p.shape[1]
-    idx_3d = idx_p.reshape(n, 1, p)
-    # (N, C, P, K) -> (N, K*C, P): keep P on the minor (lane) dim so the
-    # block is tile-dense (a (P, 4) layout would pad lanes 4 -> 128: 32x
-    # VMEM blowup, the cause of a scoped-vmem OOM in the first version)
-    g_r = jnp.moveaxis(g, 3, 1).reshape(n, k * c, p0)
-    g_r, _ = _pad_to(g_r, _PT, axis=2)
-    s_pad = -(-s_out // _CH) * _CH
     n_ptiles = p // _PT
-    # per-p-tile index ranges (SMEM scalars) let the kernel skip tiles that
-    # cannot touch this source chunk — near-identity warps visit ~1/n_chunks
-    tiles = idx_p.reshape(n, n_ptiles, _PT)
+    idx_4d = idx_p.reshape(n, n_ptiles, 1, _PT)
+    # (N, K, C, P): P already on the minor (lane) dim -> tile-dense blocks
+    g_r = g.reshape(n, k * c, p0)
+    g_r, _ = _pad_to(g_r, _PT, axis=2)
+    # (N, T, K*C, PT): tile axis second so blocks keep valid (K*C, PT)
+    # trailing dims
+    g_r = jnp.moveaxis(g_r.reshape(n, k * c, n_ptiles, _PT), 1, 2)
+    s_pad = -(-s_out // _CH) * _CH
+    tiles = idx_4d[:, :, 0, :]
     tmin = jnp.min(jnp.where(tiles < 0, 10 ** 8, tiles), axis=2)
     tmax = jnp.max(tiles, axis=2).astype(jnp.int32).reshape(n, 1, n_ptiles)
     tmin = tmin.astype(jnp.int32).reshape(n, 1, n_ptiles)
 
     def kernel(tmin_ref, tmax_ref, idx_ref, g_ref, out_ref):
         sj = pl.program_id(1)
+        pi = pl.program_id(2)
         base = sj * _CH
-        lane = jax.lax.broadcasted_iota(jnp.int32, (_PT, _CH), 1)
 
-        def body(pi, acc):
-            overlap = (tmax_ref[0, 0, pi] >= base) & \
-                (tmin_ref[0, 0, pi] < base + _CH)
+        @pl.when(pi == 0)
+        def _():
+            out_ref[0, 0] = jnp.zeros((k * c, _CH), jnp.float32)
 
-            def work(a):
-                pstart = pl.multiple_of(pi * _PT, _PT)
-                pix = idx_ref[0, 0, pl.ds(pstart, _PT)]  # (PT,)
-                oh = (pix[:, None] - base == lane).astype(jnp.float32)
-                gt = g_ref[0, :, pl.ds(pstart, _PT)]  # (K*C, PT)
-                return a + jax.lax.dot_general(
-                    gt, oh, (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32)
+        overlap = (tmax_ref[0, 0, pi] >= base) & \
+            (tmin_ref[0, 0, pi] < base + _CH)
 
-            return jax.lax.cond(overlap, work, lambda a: a, acc)
-
-        acc = jax.lax.fori_loop(
-            0, n_ptiles, body, jnp.zeros((k * c, _CH), jnp.float32))
-        out_ref[0, 0] = acc
+        @pl.when(overlap)
+        def _():
+            lane = jax.lax.broadcasted_iota(jnp.int32, (_PT, _CH), 1)
+            pix = idx_ref[0, 0, 0, :]  # (PT,) — pi-th tile via index_map
+            oh = (pix[:, None] - base == lane).astype(jnp.float32)
+            gt = g_ref[0, 0]  # (K*C, PT)
+            out_ref[0, 0] += jax.lax.dot_general(
+                gt, oh, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
 
     out = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((n, s_pad // _CH, k * c, _CH),
                                        jnp.float32),
-        grid=(n, s_pad // _CH),
+        grid=(n, s_pad // _CH, n_ptiles),
         in_specs=[
-            pl.BlockSpec((1, 1, n_ptiles), lambda i, j: (i, 0, 0),
+            pl.BlockSpec((1, 1, n_ptiles), lambda i, j, q: (i, 0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1, n_ptiles), lambda i, j: (i, 0, 0),
+            pl.BlockSpec((1, 1, n_ptiles), lambda i, j, q: (i, 0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1, p), lambda i, j: (i, 0, 0),
+            pl.BlockSpec((1, 1, 1, _PT), lambda i, j, q: (i, q, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, k * c, p), lambda i, j: (i, 0, 0),
+            pl.BlockSpec((1, 1, k * c, _PT), lambda i, j, q: (i, q, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, 1, k * c, _CH), lambda i, j: (i, j, 0, 0),
+        out_specs=pl.BlockSpec((1, 1, k * c, _CH),
+                               lambda i, j, q: (i, j, 0, 0),
                                memory_space=pltpu.VMEM),
         interpret=_interpret(),
-    )(tmin, tmax, idx_3d, g_r)
+    )(tmin, tmax, idx_4d, g_r)
     # (N, S//CH, K*C, CH) -> (N, K, C, S)
     out = jnp.moveaxis(out, 2, 1).reshape(n, k, c, s_pad)[..., :s_out]
     # contributions of corner k land at idx + offsets[k]: shift each plane
@@ -221,21 +224,21 @@ def _weighted_corner_sample(img, payload, offsets: Tuple[int, ...],
     (scatter kernel) and weights (saved corner values); idx is non-diff.
     """
     idx, weights = payload
-    vals = corner_gather(img, idx, offsets)  # (N, C, P, K)
-    return jnp.einsum("nkp,ncpk->ncp", weights, vals)
+    vals = corner_gather(img, idx, offsets)  # (N, K, C, P)
+    return jnp.einsum("nkp,nkcp->ncp", weights, vals)
 
 
 def _wcs_fwd(img, payload, offsets, s_out):
     idx, weights = payload
-    vals = corner_gather(img, idx, offsets)
-    out = jnp.einsum("nkp,ncpk->ncp", weights, vals)
+    vals = corner_gather(img, idx, offsets)  # (N, K, C, P)
+    out = jnp.einsum("nkp,nkcp->ncp", weights, vals)
     return out, (idx, weights, vals)
 
 
 def _wcs_bwd(offsets, s_out, res, g):
     idx, weights, vals = res
-    d_weights = jnp.einsum("ncp,ncpk->nkp", g, vals)
-    g_corners = jnp.einsum("ncp,nkp->ncpk", g, weights)
+    d_weights = jnp.einsum("ncp,nkcp->nkp", g, vals)
+    g_corners = jnp.einsum("ncp,nkp->nkcp", g, weights)
     d_img = corner_scatter(g_corners, idx, offsets, s_out)
     return d_img, (None, d_weights)
 
@@ -243,11 +246,25 @@ def _wcs_bwd(offsets, s_out, res, g):
 _weighted_corner_sample.defvjp(_wcs_fwd, _wcs_bwd)
 
 
+# per-sample K-stacked image budget; Mosaic double-buffers the image block
+# so the safe envelope is well under half of the 16MB VMEM
+_VMEM_IMG_BUDGET = 5 * 1024 * 1024
+
+
+def _fits_vmem(k: int, c: int, s: int) -> bool:
+    return k * c * s * 4 <= _VMEM_IMG_BUDGET
+
+
 def grid_sample_2d_pallas(x, grid, padding_mode: str = "zeros",
                           align_corners: bool = True):
     """Drop-in bilinear 2D grid sample (torch semantics) on the Pallas
     gather-matmul path.  x: (N, C, H, W); grid: (N, Ho, Wo, 2)."""
     from advchain_tpu.ops.grid_sample import _prep_coord
+
+    if not _fits_vmem(4, x.shape[1], x.shape[2] * x.shape[3]):
+        from advchain_tpu.ops.grid_sample import _grid_sample_2d_xla
+        return _grid_sample_2d_xla(x, grid, "bilinear", padding_mode,
+                                   align_corners)
 
     n, c, h, w = x.shape
     _, ho, wo, two = grid.shape
@@ -308,9 +325,15 @@ def grid_sample_3d_pallas(x, grid, padding_mode: str = "zeros",
     Formulated as FOUR (z, y) base indices x TWO x-taps so the kernel needs
     only K=2 pre-shifted volume copies (8 copies of a 3D volume would blow
     VMEM) and each index sub-tile stays window-coherent: the bases are
-    concatenated along the pixel axis of one corner_gather call.
+    concatenated along the pixel axis of one corner_gather call.  Volumes
+    whose K-stack exceeds the VMEM budget fall back to the XLA sampler.
     """
     from advchain_tpu.ops.grid_sample import _prep_coord
+
+    if not _fits_vmem(2, x.shape[1], x.shape[2] * x.shape[3] * x.shape[4]):
+        from advchain_tpu.ops.grid_sample import _grid_sample_3d_xla
+        return _grid_sample_3d_xla(x, grid, "bilinear", padding_mode,
+                                   align_corners)
 
     n, c, d, h, w = x.shape
     _, do, ho, wo, three = grid.shape
@@ -356,12 +379,14 @@ def grid_sample_3d_pallas(x, grid, padding_mode: str = "zeros",
             w0s.append(w_x0 + w_x1 * (1 - dxf))
             w1s.append(w_x1 * dxf)
 
-    idx_cat = jnp.concatenate(bases, axis=1)          # (N, 4P)
-    weights = jnp.stack([jnp.concatenate(w0s, axis=1),
-                         jnp.concatenate(w1s, axis=1)], axis=1)  # (N, 2, 4P)
-
-    out4 = _weighted_corner_sample(
-        x.reshape(n, c, d * h * w).astype(jnp.float32),
-        (idx_cat, weights.astype(jnp.float32)), (0, 1), d * h * w)
-    out = out4.reshape(n, c, 4, p).sum(axis=2)
+    # one sampler call per (z, y) base: a concatenated (N, 4P) index stack
+    # tempts XLA into a pathological minor-N layout (32x HBM padding seen on
+    # volume workloads); separate calls keep every buffer P-minor
+    x_flat = x.reshape(n, c, d * h * w).astype(jnp.float32)
+    out = None
+    for base, w0, w1 in zip(bases, w0s, w1s):
+        wpair = jnp.stack([w0, w1], axis=1).astype(jnp.float32)  # (N, 2, P)
+        part = _weighted_corner_sample(x_flat, (base, wpair), (0, 1),
+                                       d * h * w)
+        out = part if out is None else out + part
     return out.reshape(n, c, do, ho, wo).astype(x.dtype)

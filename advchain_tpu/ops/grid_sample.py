@@ -115,6 +115,13 @@ def grid_sample_2d(x, grid, mode: str = "bilinear", padding_mode: str = "zeros",
         from advchain_tpu.kernels.gather_matmul import grid_sample_2d_pallas
         return grid_sample_2d_pallas(x, grid, padding_mode=padding_mode,
                                      align_corners=align_corners)
+    return _grid_sample_2d_xla(x, grid, mode, padding_mode, align_corners)
+
+
+def _grid_sample_2d_xla(x, grid, mode="bilinear", padding_mode="zeros",
+                        align_corners=True):
+    n, c, h, w = x.shape
+    _, ho, wo, _ = grid.shape
     compute_dtype = jnp.promote_types(x.dtype, grid.dtype)
     gx = grid[..., 0].astype(compute_dtype).reshape(n, ho * wo)
     gy = grid[..., 1].astype(compute_dtype).reshape(n, ho * wo)
@@ -178,6 +185,13 @@ def grid_sample_3d(x, grid, mode: str = "bilinear", padding_mode: str = "zeros",
         from advchain_tpu.kernels.gather_matmul import grid_sample_3d_pallas
         return grid_sample_3d_pallas(x, grid, padding_mode=padding_mode,
                                      align_corners=align_corners)
+    return _grid_sample_3d_xla(x, grid, mode, padding_mode, align_corners)
+
+
+def _grid_sample_3d_xla(x, grid, mode="bilinear", padding_mode="zeros",
+                        align_corners=True):
+    n, c, d, h, w = x.shape
+    _, do, ho, wo, _ = grid.shape
     p = do * ho * wo
     compute_dtype = jnp.promote_types(x.dtype, grid.dtype)
     gx = grid[..., 0].astype(compute_dtype).reshape(n, p)

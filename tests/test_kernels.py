@@ -19,11 +19,11 @@ def test_corner_gather_exact(rng):
     img = jnp.asarray(rng.rand(n, c, s).astype(np.float32))
     idx = jnp.asarray(rng.randint(0, s - 50, (n, 600)).astype(np.int32))
     offsets = (0, 1, 20, 21)
-    vals = np.asarray(corner_gather(img, idx, offsets))
+    vals = np.asarray(corner_gather(img, idx, offsets))  # (N, K, C, P)
     for k, off in enumerate(offsets):
         ref = np.take_along_axis(np.asarray(img),
                                  np.asarray(idx)[:, None, :] + off, axis=2)
-        np.testing.assert_allclose(vals[..., k], ref, atol=1e-6)
+        np.testing.assert_allclose(vals[:, k], ref, atol=1e-6)
 
 
 def test_corner_scatter_is_transpose(rng):
@@ -32,7 +32,7 @@ def test_corner_scatter_is_transpose(rng):
     offsets = (0, 1, 30, 31)
     img = jnp.asarray(rng.rand(n, c, s).astype(np.float32))
     idx = jnp.asarray(rng.randint(0, s - 40, (n, p)).astype(np.int32))
-    g = jnp.asarray(rng.rand(n, c, p, len(offsets)).astype(np.float32))
+    g = jnp.asarray(rng.rand(n, len(offsets), c, p).astype(np.float32))
     lhs = float(jnp.sum(corner_scatter(g, idx, offsets, s)
                         * img))
     rhs = float(jnp.sum(g * corner_gather(img, idx, offsets)))
