@@ -4,7 +4,9 @@ the reference/fallback implementation)."""
 from advchain_tpu.kernels.gather_matmul import (corner_gather,
                                                 corner_scatter,
                                                 grid_sample_2d_pallas,
-                                                grid_sample_3d_pallas)
+                                                grid_sample_3d_pallas,
+                                                plane_gather,
+                                                plane_scatter)
 
 __all__ = ["corner_gather", "corner_scatter", "grid_sample_2d_pallas",
-           "grid_sample_3d_pallas"]
+           "grid_sample_3d_pallas", "plane_gather", "plane_scatter"]

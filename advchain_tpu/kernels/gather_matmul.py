@@ -41,12 +41,26 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["corner_gather", "corner_scatter", "grid_sample_2d_pallas",
-           "grid_sample_3d_pallas"]
+__all__ = ["corner_gather", "corner_scatter", "plane_gather",
+           "plane_scatter", "grid_sample_2d_pallas", "grid_sample_3d_pallas"]
 
 # output-pixel tile (sublanes of the one-hot) / source chunk (lanes)
 _PT = 512
 _CH = 512
+
+
+def _dot_f32(vals, oh, dims):
+    """MXU matmuls round f32 inputs to bf16 (~1e-3 relative error —
+    measured on v5e; torch-parity demands <1e-4).  The one-hot side is
+    exactly representable (0/1), so splitting the VALUE side into two
+    bf16 terms (hi + residual) recovers ~1e-5 accuracy at 2 MXU passes:
+    each pass's nonzero products are exact bf16*1 selections."""
+    hi = vals.astype(jnp.bfloat16).astype(jnp.float32)
+    lo = vals - hi
+    return (jax.lax.dot_general(hi, oh, dims,
+                                preferred_element_type=jnp.float32)
+            + jax.lax.dot_general(lo, oh, dims,
+                                  preferred_element_type=jnp.float32))
 
 
 def _interpret() -> bool:
@@ -70,7 +84,11 @@ def corner_gather(img, idx, offsets: Tuple[int, ...]):
     """img: (N, C, S); idx: (N, P) int32 with 0 <= idx < S (clipped);
     returns vals (N, K, C, P) with vals[:, k] = img[..., idx + offsets[k]]
     — P on the minor dim (a K-minor layout gets tile-padded 32-64x in HBM).
-    Reads past S hit zero padding (call sites zero those taps' weights)."""
+    Reads past S hit zero padding (call sites zero those taps' weights).
+
+    Dispatch: when the K-stacked image fits the per-sample VMEM budget it is
+    kept resident in VMEM (fastest); otherwise the streamed variant keeps it
+    in HBM and double-buffers chunk DMAs (no size limit)."""
     n, c, s = img.shape
     k = len(offsets)
     assert min(offsets) >= 0, "corner offsets must be non-negative"
@@ -88,6 +106,10 @@ def corner_gather(img, idx, offsets: Tuple[int, ...]):
     idx_4d = idx_p.reshape(n, n_tiles, 1, _PT)
     n_chunks = sp // _CH
 
+    if not _fits_vmem(k, c, sp):
+        return _corner_gather_streamed(img_k, idx_4d, k, c, sp,
+                                       p_orig)
+
     def kernel(idx_ref, img_ref, out_ref):
         pix = idx_ref[0, 0, 0, :]  # (PT,) — the j-th tile via index_map
         lane = jax.lax.broadcasted_iota(jnp.int32, (_PT, _CH), 1)
@@ -103,9 +125,7 @@ def corner_gather(img, idx, offsets: Tuple[int, ...]):
             # (K*C, CH) @ (PT, CH)^T -> (K*C, PT): keeping PT on the minor
             # (lane) dim makes the VMEM accumulator and HBM write tile-dense
             # (a (PT, K*C) layout pads lanes K*C -> 128)
-            return acc + jax.lax.dot_general(
-                rhs, oh, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32)
+            return acc + _dot_f32(rhs, oh, (((1,), (1,)), ((), ())))
 
         acc = jax.lax.fori_loop(
             lo, hi, body, jnp.zeros((k * c, _PT), jnp.float32))
@@ -129,6 +149,80 @@ def corner_gather(img, idx, offsets: Tuple[int, ...]):
     # (N, T, K, C, PT) -> (N, K, C, P)
     out = out.reshape(n, n_tiles, k, c, _PT)
     out = jnp.moveaxis(out, 1, 3)  # (N, K, C, T, PT)
+    return out.reshape(n, k, c, p)[..., :p_orig]
+
+
+def _corner_gather_streamed(img_k, idx_4d, k: int, c: int, sp: int,
+                            p_orig: int):
+    """corner_gather for images whose K-stack exceeds the VMEM budget: the
+    stacked image stays in HBM (memory_space=ANY) and each source chunk in
+    the tile's dynamic band window is DMA'd into a double-buffered VMEM
+    scratch (2 x K*C x CH floats — independent of image size), overlapping
+    the next chunk's fetch with the current chunk's compare + MXU matmul.
+
+    img_k: (N, K, C, SP) zero-padded, pre-shifted per corner offset;
+    idx_4d: (N, T, 1, PT) int32 base indices.  Returns (N, K, C, p_orig).
+    """
+    n = img_k.shape[0]
+    n_tiles = idx_4d.shape[1]
+    p = n_tiles * _PT
+    n_chunks = sp // _CH
+    img_r = img_k.reshape(n, k * c, sp)
+
+    def kernel(idx_ref, img_ref, out_ref):
+        i = pl.program_id(0)
+        pix = idx_ref[0, 0, 0, :]  # (PT,)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (_PT, _CH), 1)
+        lo = jnp.min(pix) // _CH
+        hi = jnp.minimum(jnp.max(pix) // _CH + 1, n_chunks)
+
+        def scoped(scratch, sem):
+            def get_dma(slot, ci):
+                base = pl.multiple_of(ci * _CH, _CH)
+                return pltpu.make_async_copy(
+                    img_ref.at[i, :, pl.ds(base, _CH)],
+                    scratch.at[slot], sem.at[slot])
+
+            get_dma(0, lo).start()
+
+            def body(ci, acc):
+                slot = jax.lax.rem(ci - lo, 2)
+
+                @pl.when(ci + 1 < hi)
+                def _():
+                    get_dma(1 - slot, ci + 1).start()
+
+                get_dma(slot, ci).wait()
+                base = pl.multiple_of(ci * _CH, _CH)
+                oh = (pix[:, None] - base == lane).astype(jnp.float32)
+                rhs = scratch[slot]  # (K*C, CH)
+                return acc + _dot_f32(rhs, oh, (((1,), (1,)), ((), ())))
+
+            out_ref[0, 0] = jax.lax.fori_loop(
+                lo, hi, body, jnp.zeros((k * c, _PT), jnp.float32))
+
+        pl.run_scoped(
+            scoped,
+            pltpu.VMEM((2, k * c, _CH), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        )
+
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((n, n_tiles, k * c, _PT),
+                                       jnp.float32),
+        grid=(n, n_tiles),
+        in_specs=[
+            pl.BlockSpec((1, 1, 1, _PT), lambda i, j: (i, j, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec((1, 1, k * c, _PT), lambda i, j: (i, j, 0, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=_interpret(),
+    )(idx_4d, img_r)
+    out = out.reshape(n, n_tiles, k, c, _PT)
+    out = jnp.moveaxis(out, 1, 3)
     return out.reshape(n, k, c, p)[..., :p_orig]
 
 
@@ -178,9 +272,7 @@ def corner_scatter(g, idx, offsets: Tuple[int, ...], s_out: int):
             pix = idx_ref[0, 0, 0, :]  # (PT,) — pi-th tile via index_map
             oh = (pix[:, None] - base == lane).astype(jnp.float32)
             gt = g_ref[0, 0]  # (K*C, PT)
-            out_ref[0, 0] += jax.lax.dot_general(
-                gt, oh, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
+            out_ref[0, 0] += _dot_f32(gt, oh, (((1,), (0,)), ((), ())))
 
     out = pl.pallas_call(
         kernel,
@@ -212,6 +304,247 @@ def corner_scatter(g, idx, offsets: Tuple[int, ...], s_out: int):
             plane = jnp.pad(plane, ((0, 0), (0, 0), (off, 0)))[:, :, :s_out]
         dimg = dimg + plane
     return dimg
+
+
+# ------------------------------------------------- 3D (z, yx) plane kernels
+#
+# The flat-index band window dies in 3D: a +-1 voxel z-spread inside one
+# output tile spans H*W flat indices (~72 chunks at 192^2), so the 1D
+# corner kernels degrade to a near-full sweep (measured 17-22x SLOWER than
+# even XLA's bad gather on volume warps).  The plane kernels keep the z
+# coordinate separate: one-hot = (z_pix == z) & (yx_pix - base == lane),
+# and the band is the CARTESIAN product of a tiny z range (2-3 planes for
+# smooth warps) and a tight per-plane yx window — restoring the 2D kernel's
+# pruning behavior plane by plane.
+
+
+def _plane_pack(img, offsets: Tuple[int, ...]):
+    """(N, C, D, HW) -> (N, K*C, D, HWP) with K pre-shifted per-plane
+    copies (zero padding past HW; shifts never bleed across planes)."""
+    n, c, d, hw = img.shape
+    k = len(offsets)
+    max_off = max(offsets)
+    img_p, _ = _pad_to(img, _CH, axis=3)
+    img_p = jnp.pad(img_p, ((0, 0), (0, 0), (0, 0), (0, max_off)))
+    hwp = img_p.shape[3] - max_off
+    img_k = jnp.stack([img_p[..., off:off + hwp] for off in offsets],
+                      axis=1)  # (N, K, C, D, HWP)
+    return img_k.reshape(n, k * c, d, hwp), hwp
+
+
+def _plane_tiles(zidx, yxidx):
+    """Pad to _PT and tile: z pad -1 (matches no plane), yx pad 0."""
+    n = zidx.shape[0]
+    z_p, p_orig = _pad_to(zidx, _PT, axis=1, value=-1)
+    yx_p, _ = _pad_to(yxidx, _PT, axis=1)
+    t = z_p.shape[1] // _PT
+    return (z_p.reshape(n, t, 1, _PT), yx_p.reshape(n, t, 1, _PT), t,
+            p_orig)
+
+
+@functools.partial(jax.jit, static_argnames=("offsets",))
+def plane_gather(img, zidx, yxidx, offsets: Tuple[int, ...]):
+    """img: (N, C, D, HW); zidx, yxidx: (N, P) int32 (clipped in range);
+    returns vals (N, K, C, P), vals[:, k] = img[n, c, z, yx + offsets[k]].
+
+    VMEM-resident when the packed stack fits the budget; otherwise the
+    image stays in HBM and each (plane, chunk) block in the band is DMA'd
+    into a small VMEM scratch."""
+    n, c, d, hw = img.shape
+    k = len(offsets)
+    assert min(offsets) >= 0, "corner offsets must be non-negative"
+    img_r, hwp = _plane_pack(img, offsets)
+    z4, yx4, n_tiles, p_orig = _plane_tiles(zidx, yxidx)
+    n_chunks = hwp // _CH
+    resident = _fits_vmem(k, c, d * hwp)
+
+    def make_body(read_chunk):
+        def tile_acc(zp, yxp):
+            lane = jax.lax.broadcasted_iota(jnp.int32, (_PT, _CH), 1)
+            zlo = jnp.maximum(jnp.min(zp), 0)  # -1 pads match nothing
+            zhi = jnp.max(zp) + 1
+            lo = jnp.min(yxp) // _CH
+            hi = jnp.minimum(jnp.max(yxp) // _CH + 1, n_chunks)
+
+            def zbody(z, acc):
+                def cbody(ci, acc):
+                    base = pl.multiple_of(ci * _CH, _CH)
+                    oh = ((zp[:, None] == z)
+                          & (yxp[:, None] - base == lane)).astype(
+                              jnp.float32)
+                    rhs = read_chunk(z, base)  # (K*C, CH)
+                    return acc + _dot_f32(rhs,
+                                          oh, (((1,), (1,)), ((), ())))
+
+                return jax.lax.fori_loop(lo, hi, cbody, acc)
+
+            return jax.lax.fori_loop(
+                zlo, zhi, zbody, jnp.zeros((k * c, _PT), jnp.float32))
+
+        return tile_acc
+
+    if resident:
+        def kernel(z_ref, yx_ref, img_ref, out_ref):
+            tile_acc = make_body(
+                lambda z, base: img_ref[0, :, z, pl.ds(base, _CH)])
+            out_ref[0, 0] = tile_acc(z_ref[0, 0, 0, :], yx_ref[0, 0, 0, :])
+
+        img_spec = pl.BlockSpec((1, k * c, d, hwp), lambda i, j: (i, 0, 0, 0),
+                                memory_space=pltpu.VMEM)
+    else:
+        def kernel(z_ref, yx_ref, img_ref, out_ref):
+            i = pl.program_id(0)
+
+            def scoped(scratch, sem):
+                def read_chunk(z, base):
+                    dma = pltpu.make_async_copy(
+                        img_ref.at[i, :, z, pl.ds(base, _CH)], scratch, sem)
+                    dma.start()
+                    dma.wait()
+                    return scratch[...]
+
+                tile_acc = make_body(read_chunk)
+                out_ref[0, 0] = tile_acc(z_ref[0, 0, 0, :],
+                                         yx_ref[0, 0, 0, :])
+
+            pl.run_scoped(scoped, pltpu.VMEM((k * c, _CH), jnp.float32),
+                          pltpu.SemaphoreType.DMA(()))
+
+        img_spec = pl.BlockSpec(memory_space=pl.ANY)
+
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((n, n_tiles, k * c, _PT),
+                                       jnp.float32),
+        grid=(n, n_tiles),
+        in_specs=[
+            pl.BlockSpec((1, 1, 1, _PT), lambda i, j: (i, j, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1, _PT), lambda i, j: (i, j, 0, 0),
+                         memory_space=pltpu.VMEM),
+            img_spec,
+        ],
+        out_specs=pl.BlockSpec((1, 1, k * c, _PT), lambda i, j: (i, j, 0, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=_interpret(),
+    )(z4, yx4, img_r)
+    out = out.reshape(n, n_tiles, k, c, _PT)
+    out = jnp.moveaxis(out, 1, 3)
+    return out.reshape(n, k, c, n_tiles * _PT)[..., :p_orig]
+
+
+@functools.partial(jax.jit, static_argnames=("offsets", "d", "hw"))
+def plane_scatter(g, zidx, yxidx, offsets: Tuple[int, ...], d: int, hw: int):
+    """Transpose of plane_gather: g (N, K, C, P) -> dimg (N, C, D, HW) with
+    g[:, k] accumulated at (z, yx + offsets[k]).
+
+    The whole (K*C, D, HWP) output stays VMEM-resident across the streamed
+    pixel tiles (grid = (N, T)) and each tile applies its banded one-hot
+    matmuls as read-modify-writes — the (source-chunk x pixel-tile) grid of
+    the flat corner_scatter would pay ~520k mostly-skipped grid steps per
+    volume here.  Falls back to the flat corner_scatter when the output
+    exceeds the VMEM budget."""
+    n, k, c, p0 = g.shape
+    assert min(offsets) >= 0, "corner offsets must be non-negative"
+    hwp = -(-hw // _CH) * _CH
+    if not _fits_vmem(k, c, d * hwp):
+        flat = (jnp.maximum(zidx, 0) * hw + yxidx).astype(jnp.int32)
+        flat = jnp.where(zidx < 0, -10 ** 8, flat)
+        out = corner_scatter(g, flat, offsets, d * hw)
+        return out.reshape(n, c, d, hw)
+    n_chunks = hwp // _CH
+    z4, yx4, n_tiles, _ = _plane_tiles(zidx, yxidx)
+    g_r = g.reshape(n, k * c, p0)
+    g_r, _ = _pad_to(g_r, _PT, axis=2)
+    g_r = jnp.moveaxis(g_r.reshape(n, k * c, n_tiles, _PT), 1, 2)
+
+    def kernel(z_ref, yx_ref, g_ref, out_ref):
+        j = pl.program_id(1)
+
+        @pl.when(j == 0)
+        def _():
+            out_ref[0] = jnp.zeros((k * c, d, hwp), jnp.float32)
+
+        zp = z_ref[0, 0, 0, :]
+        yxp = yx_ref[0, 0, 0, :]
+        lane = jax.lax.broadcasted_iota(jnp.int32, (_PT, _CH), 1)
+        zlo = jnp.maximum(jnp.min(zp), 0)
+        zhi = jnp.max(zp) + 1
+        lo = jnp.min(yxp) // _CH
+        hi = jnp.minimum(jnp.max(yxp) // _CH + 1, n_chunks)
+        gt = g_ref[0, 0]  # (K*C, PT)
+
+        def zbody(z, _):
+            def cbody(ci, _):
+                base = pl.multiple_of(ci * _CH, _CH)
+                oh = ((zp[:, None] == z)
+                      & (yxp[:, None] - base == lane)).astype(jnp.float32)
+                out_ref[0, :, z, pl.ds(base, _CH)] += _dot_f32(
+                    gt, oh, (((1,), (0,)), ((), ())))
+                return 0
+
+            return jax.lax.fori_loop(lo, hi, cbody, 0)
+
+        jax.lax.fori_loop(zlo, zhi, zbody, 0)
+
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((n, k * c, d, hwp), jnp.float32),
+        grid=(n, n_tiles),
+        in_specs=[
+            pl.BlockSpec((1, 1, 1, _PT), lambda i, j: (i, j, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1, _PT), lambda i, j: (i, j, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, k * c, _PT), lambda i, j: (i, j, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, k * c, d, hwp), lambda i, j: (i, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=_interpret(),
+    )(z4, yx4, g_r)
+    out = out.reshape(n, k, c, d, hwp)
+    # corner k's contribution lands at yx + offsets[k] within its plane
+    dimg = jnp.zeros((n, c, d, hw), jnp.float32)
+    for ki, off in enumerate(offsets):
+        plane = out[:, ki]
+        if off > 0:
+            plane = jnp.pad(plane,
+                            ((0, 0), (0, 0), (0, 0), (off, 0)))[..., :hw]
+        else:
+            plane = plane[..., :hw]
+        dimg = dimg + plane
+    return dimg
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def _weighted_plane_sample(img, payload, offsets: Tuple[int, ...], d: int,
+                           hw: int):
+    """out[n,c,p] = sum_k w[n,k,p] * img[n,c, z[n,p], yx[n,p]+offsets[k]].
+
+    payload = (zidx, yxidx int32 (N,P), weights (N,K,P)).  Gradients flow
+    to img (plane_scatter) and weights; indices are non-differentiable."""
+    zidx, yxidx, weights = payload
+    vals = plane_gather(img, zidx, yxidx, offsets)
+    return jnp.einsum("nkp,nkcp->ncp", weights, vals)
+
+
+def _wps_fwd(img, payload, offsets, d, hw):
+    zidx, yxidx, weights = payload
+    vals = plane_gather(img, zidx, yxidx, offsets)
+    out = jnp.einsum("nkp,nkcp->ncp", weights, vals)
+    return out, (zidx, yxidx, weights, vals)
+
+
+def _wps_bwd(offsets, d, hw, res, g):
+    zidx, yxidx, weights, vals = res
+    d_weights = jnp.einsum("ncp,nkcp->nkp", g, vals)
+    g_corners = jnp.einsum("ncp,nkp->nkcp", g, weights)
+    d_img = plane_scatter(g_corners, zidx, yxidx, offsets, d, hw)
+    return d_img, (None, None, d_weights)
+
+
+_weighted_plane_sample.defvjp(_wps_fwd, _wps_bwd)
 
 
 # ----------------------------------------------------------- 2D sampler
@@ -255,16 +588,30 @@ def _fits_vmem(k: int, c: int, s: int) -> bool:
     return k * c * s * 4 <= _VMEM_IMG_BUDGET
 
 
+def _channel_groups(k: int, c: int, s: int):
+    """Split C channels into balanced groups whose K-stacked image fits the
+    VMEM budget (the one-hot compare is recomputed per group, but the kernel
+    stays on the Pallas path instead of falling back to XLA's pathological
+    gather).  Returns a list of (start, size) or None when even one channel
+    does not fit."""
+    per_c = k * s * 4
+    if per_c > _VMEM_IMG_BUDGET:
+        return None
+    cg = min(c, _VMEM_IMG_BUDGET // per_c)
+    n_groups = -(-c // cg)
+    size = -(-c // n_groups)  # balanced: avoids an odd-size final group
+    return [(i, min(size, c - i)) for i in range(0, c, size)]
+
+
 def grid_sample_2d_pallas(x, grid, padding_mode: str = "zeros",
                           align_corners: bool = True):
     """Drop-in bilinear 2D grid sample (torch semantics) on the Pallas
     gather-matmul path.  x: (N, C, H, W); grid: (N, Ho, Wo, 2)."""
     from advchain_tpu.ops.grid_sample import _prep_coord
 
-    if not _fits_vmem(4, x.shape[1], x.shape[2] * x.shape[3]):
-        from advchain_tpu.ops.grid_sample import _grid_sample_2d_xla
-        return _grid_sample_2d_xla(x, grid, "bilinear", padding_mode,
-                                   align_corners)
+    groups = _channel_groups(4, x.shape[1], x.shape[2] * x.shape[3])
+    if groups is None:  # streamed kernel: no channel split needed
+        groups = [(0, x.shape[1])]
 
     n, c, h, w = x.shape
     _, ho, wo, two = grid.shape
@@ -308,10 +655,12 @@ def grid_sample_2d_pallas(x, grid, padding_mode: str = "zeros",
     cw11 = w11 * dxf * dyf
     weights = jnp.stack([cw00, cw01, cw10, cw11], axis=1)  # (N, 4, P)
 
-    out = _weighted_corner_sample(
-        x.reshape(n, c, h * w).astype(jnp.float32),
-        (base, weights.astype(jnp.float32)),
-        (0, 1, w, w + 1), h * w)
+    x_flat = x.reshape(n, c, h * w).astype(jnp.float32)
+    payload = (base, weights.astype(jnp.float32))
+    parts = [_weighted_corner_sample(x_flat[:, i:i + sz], payload,
+                                     (0, 1, w, w + 1), h * w)
+             for i, sz in groups]
+    out = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=1)
     return out.reshape(n, c, ho, wo).astype(x.dtype)
 
 
@@ -322,22 +671,25 @@ def grid_sample_3d_pallas(x, grid, padding_mode: str = "zeros",
     x: (N, C, D, H, W); grid: (N, Do, Ho, Wo, 3), torch channel order
     (grid[..., 0] -> W, [..., 1] -> H, [..., 2] -> D).
 
-    Formulated as FOUR (z, y) base indices x TWO x-taps so the kernel needs
-    only K=2 pre-shifted volume copies (8 copies of a 3D volume would blow
-    VMEM) and each index sub-tile stays window-coherent: the bases are
-    concatenated along the pixel axis of one corner_gather call.  Volumes
-    whose K-stack exceeds the VMEM budget fall back to the XLA sampler.
+    Formulated as FOUR (z, y) base (plane, row) pairs x TWO x-taps on the
+    plane_gather kernel: the z coordinate is kept separate from the
+    in-plane yx index so the band-window pruning survives z spread (a flat
+    3D index makes a +-1 voxel z range span ~H*W/CH chunks and the kernel
+    degrades to a full sweep).  Multi-channel volumes are split into
+    channel groups that fit the VMEM budget; when even a single channel
+    exceeds it, the streamed plane_gather keeps the volume in HBM.
     """
     from advchain_tpu.ops.grid_sample import _prep_coord
-
-    if not _fits_vmem(2, x.shape[1], x.shape[2] * x.shape[3] * x.shape[4]):
-        from advchain_tpu.ops.grid_sample import _grid_sample_3d_xla
-        return _grid_sample_3d_xla(x, grid, "bilinear", padding_mode,
-                                   align_corners)
 
     n, c, d, h, w = x.shape
     _, do, ho, wo, three = grid.shape
     assert three == 3
+    hw = h * w
+    hwp = -(-hw // _CH) * _CH
+    groups = _channel_groups(2, c, d * hwp)
+    if groups is None:  # streamed kernel: no channel split needed
+        groups = [(0, c)]
+
     p = do * ho * wo
     gx = grid[..., 0].reshape(n, p)
     gy = grid[..., 1].reshape(n, p)
@@ -361,32 +713,35 @@ def grid_sample_3d_pallas(x, grid, padding_mode: str = "zeros",
     dxf = (x1c - x0c).astype(jnp.float32)  # 0.0/1.0: x tap distinct?
     ys = [jnp.clip(y0, 0, h - 1), jnp.clip(y0 + 1, 0, h - 1)]
     zs = [jnp.clip(z0, 0, d - 1), jnp.clip(z0 + 1, 0, d - 1)]
-    hw = h * w
 
-    bases = []
+    bases = []  # (zidx, yxidx) pairs
     w0s = []
     w1s = []
     for dz in (0, 1):
         for dy in (0, 1):
-            base = ((zs[dz].astype(jnp.int32) * h
-                     + ys[dy].astype(jnp.int32)) * w
-                    + x0c.astype(jnp.int32))
+            zb = zs[dz].astype(jnp.int32)
+            yxb = ys[dy].astype(jnp.int32) * w + x0c.astype(jnp.int32)
             wyz = ((fy if dy else 1 - fy) * (fz if dz else 1 - fz))
             w_x0 = (1 - fx) * wyz * inb(x0, y0 + dy, z0 + dz)
             w_x1 = fx * wyz * inb(x0 + 1, y0 + dy, z0 + dz)
             # fold x-collapsed taps (clipped x1 == x0) into the base tap
-            bases.append(base)
+            bases.append((zb, yxb))
             w0s.append(w_x0 + w_x1 * (1 - dxf))
             w1s.append(w_x1 * dxf)
 
     # one sampler call per (z, y) base: a concatenated (N, 4P) index stack
     # tempts XLA into a pathological minor-N layout (32x HBM padding seen on
     # volume workloads); separate calls keep every buffer P-minor
-    x_flat = x.reshape(n, c, d * h * w).astype(jnp.float32)
-    out = None
-    for base, w0, w1 in zip(bases, w0s, w1s):
-        wpair = jnp.stack([w0, w1], axis=1).astype(jnp.float32)  # (N, 2, P)
-        part = _weighted_corner_sample(x_flat, (base, wpair), (0, 1),
-                                       d * h * w)
-        out = part if out is None else out + part
+    x_r = x.reshape(n, c, d, hw).astype(jnp.float32)
+    chunks = []
+    for i, sz in groups:
+        out = None
+        for (zb, yxb), w0, w1 in zip(bases, w0s, w1s):
+            wpair = jnp.stack([w0, w1],
+                              axis=1).astype(jnp.float32)  # (N, 2, P)
+            part = _weighted_plane_sample(x_r[:, i:i + sz],
+                                          (zb, yxb, wpair), (0, 1), d, hw)
+            out = part if out is None else out + part
+        chunks.append(out)
+    out = chunks[0] if len(chunks) == 1 else jnp.concatenate(chunks, axis=1)
     return out.reshape(n, c, do, ho, wo).astype(x.dtype)

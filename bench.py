@@ -89,8 +89,9 @@ def bench_tpu():
         d = solver.adversarial_training(
             data=data, model=model, n_iter=N_ITER,
             power_iteration="smart", step_sizes=1.0)
-        jax.block_until_ready(d)
-        return d
+        # block_until_ready is a NO-OP under the axon tunnel; a device->host
+        # scalar transfer is the only honest synchronization
+        return float(d)
 
     once()  # compile
     t0 = time.perf_counter()

@@ -78,3 +78,138 @@ def test_pallas_2d_gradients_match_torch(rng):
                                atol=1e-3)
     np.testing.assert_allclose(np.asarray(gg_ours), gt.grad.numpy(),
                                atol=1e-3)
+
+
+def test_channel_groups_math():
+    from advchain_tpu.kernels import gather_matmul as gm
+    s = gm._VMEM_IMG_BUDGET // (2 * 4)  # one channel exactly fills at K=2
+    assert gm._channel_groups(2, 1, s) == [(0, 1)]
+    assert gm._channel_groups(2, 4, s) == [(0, 1), (1, 1), (2, 1), (3, 1)]
+    # 5 channels, 3 fit per group -> balanced 3+2, not 3+2 via odd split
+    assert gm._channel_groups(2, 5, s // 3) == [(0, 3), (3, 2)]
+    # a single channel too large -> None (XLA fallback)
+    assert gm._channel_groups(2, 1, s + 1) is None
+
+
+@pytest.mark.parametrize("dim", [2, 3])
+def test_pallas_channel_split_matches_torch(rng, dim, monkeypatch):
+    """Force a tiny VMEM budget so multi-channel inputs exercise the
+    channel-group path; results must still match torch exactly."""
+    from advchain_tpu.kernels import gather_matmul as gm
+    if dim == 2:
+        x = rng.randn(2, 5, 13, 17).astype(np.float32)
+        grid = (rng.rand(2, 7, 9, 2).astype(np.float32) * 2.4 - 1.2)
+        budget = 4 * 2 * (13 * 17) * 4  # two channels per group at K=4
+        fn = grid_sample_2d_pallas
+    else:
+        x = rng.randn(2, 5, 5, 7, 9).astype(np.float32)
+        grid = (rng.rand(2, 3, 4, 5, 3).astype(np.float32) * 2.4 - 1.2)
+        budget = 2 * 2 * (5 * 7 * 9) * 4  # two channels per group at K=2
+        fn = grid_sample_3d_pallas
+    monkeypatch.setattr(gm, "_VMEM_IMG_BUDGET", budget)
+    ours = np.asarray(fn(jnp.asarray(x), jnp.asarray(grid)))
+    theirs = F.grid_sample(torch.from_numpy(x), torch.from_numpy(grid),
+                           mode="bilinear", padding_mode="zeros",
+                           align_corners=True).numpy()
+    np.testing.assert_allclose(ours, theirs, atol=1e-4)
+
+
+def test_corner_gather_streamed_exact(rng, monkeypatch):
+    """Force the HBM-streamed gather (tiny VMEM budget) — must match the
+    resident kernel's contract exactly."""
+    from advchain_tpu.kernels import gather_matmul as gm
+    n, c, s = 2, 3, 3000
+    img = jnp.asarray(rng.rand(n, c, s).astype(np.float32))
+    idx = jnp.asarray(rng.randint(0, s - 50, (n, 700)).astype(np.int32))
+    offsets = (0, 1, 20, 21)
+    monkeypatch.setattr(gm, "_VMEM_IMG_BUDGET", 1024)  # nothing fits
+    vals = np.asarray(gm.corner_gather(img, idx, offsets))
+    for k, off in enumerate(offsets):
+        ref = np.take_along_axis(np.asarray(img),
+                                 np.asarray(idx)[:, None, :] + off, axis=2)
+        np.testing.assert_allclose(vals[:, k], ref, atol=1e-6)
+
+
+def test_pallas_3d_streamed_matches_torch_with_grads(rng, monkeypatch):
+    """End-to-end trilinear sample + gradients on the streamed path."""
+    from advchain_tpu.kernels import gather_matmul as gm
+    monkeypatch.setattr(gm, "_VMEM_IMG_BUDGET", 1024)
+    x = rng.randn(1, 2, 5, 7, 9).astype(np.float32)
+    grid = (rng.rand(1, 3, 4, 5, 3).astype(np.float32) * 2.2 - 1.1)
+
+    ours = np.asarray(grid_sample_3d_pallas(jnp.asarray(x),
+                                            jnp.asarray(grid)))
+    gx_ours, gg_ours = jax.grad(
+        lambda xx, gg: jnp.sum(grid_sample_3d_pallas(xx, gg) ** 2),
+        argnums=(0, 1))(jnp.asarray(x), jnp.asarray(grid))
+
+    xt = torch.from_numpy(x).requires_grad_(True)
+    gt = torch.from_numpy(grid).requires_grad_(True)
+    out_t = F.grid_sample(xt, gt, mode="bilinear", padding_mode="zeros",
+                          align_corners=True)
+    (out_t ** 2).sum().backward()
+    np.testing.assert_allclose(ours, out_t.detach().numpy(), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(gx_ours), xt.grad.numpy(),
+                               atol=1e-3)
+    np.testing.assert_allclose(np.asarray(gg_ours), gt.grad.numpy(),
+                               atol=1e-3)
+
+
+def test_plane_gather_exact(rng):
+    from advchain_tpu.kernels import plane_gather
+    n, c, d, hw = 2, 2, 5, 700
+    img = rng.rand(n, c, d, hw).astype(np.float32)
+    zidx = rng.randint(0, d, (n, 600)).astype(np.int32)
+    yxidx = rng.randint(0, hw - 30, (n, 600)).astype(np.int32)
+    offsets = (0, 1, 20)
+    vals = np.asarray(plane_gather(jnp.asarray(img), jnp.asarray(zidx),
+                                   jnp.asarray(yxidx), offsets))
+    for k, off in enumerate(offsets):
+        ref = img[np.arange(n)[:, None, None],
+                  np.arange(c)[None, :, None],
+                  zidx[:, None, :], yxidx[:, None, :] + off]
+        np.testing.assert_allclose(vals[:, k], ref, atol=1e-6)
+
+
+def test_plane_gather_streamed_exact(rng, monkeypatch):
+    from advchain_tpu.kernels import gather_matmul as gm
+    monkeypatch.setattr(gm, "_VMEM_IMG_BUDGET", 1024)
+    n, c, d, hw = 1, 2, 4, 1500
+    img = rng.rand(n, c, d, hw).astype(np.float32)
+    zidx = rng.randint(0, d, (n, 300)).astype(np.int32)
+    yxidx = rng.randint(0, hw - 2, (n, 300)).astype(np.int32)
+    vals = np.asarray(gm.plane_gather(jnp.asarray(img), jnp.asarray(zidx),
+                                      jnp.asarray(yxidx), (0, 1)))
+    for k in (0, 1):
+        ref = img[np.arange(n)[:, None, None],
+                  np.arange(c)[None, :, None],
+                  zidx[:, None, :], yxidx[:, None, :] + k]
+        np.testing.assert_allclose(vals[:, k], ref, atol=1e-6)
+
+
+def test_plane_scatter_is_transpose(rng):
+    from advchain_tpu.kernels import plane_gather, plane_scatter
+    n, c, d, hw, p = 2, 2, 4, 900, 500
+    offsets = (0, 1, 30)
+    img = jnp.asarray(rng.rand(n, c, d, hw).astype(np.float32))
+    zidx = jnp.asarray(rng.randint(0, d, (n, p)).astype(np.int32))
+    yxidx = jnp.asarray(rng.randint(0, hw - 40, (n, p)).astype(np.int32))
+    g = jnp.asarray(rng.rand(n, len(offsets), c, p).astype(np.float32))
+    lhs = float(jnp.sum(plane_scatter(g, zidx, yxidx, offsets, d, hw) * img))
+    rhs = float(jnp.sum(g * plane_gather(img, zidx, yxidx, offsets)))
+    np.testing.assert_allclose(lhs, rhs, rtol=1e-5)
+
+
+def test_plane_scatter_flat_fallback_matches(rng, monkeypatch):
+    """Oversized outputs route through the flat corner_scatter; both paths
+    must agree."""
+    from advchain_tpu.kernels import gather_matmul as gm
+    n, c, d, hw, p = 1, 1, 3, 600, 200
+    offsets = (0, 1)
+    zidx = jnp.asarray(rng.randint(0, d, (n, p)).astype(np.int32))
+    yxidx = jnp.asarray(rng.randint(0, hw - 2, (n, p)).astype(np.int32))
+    g = jnp.asarray(rng.rand(n, 2, c, p).astype(np.float32))
+    resident = np.asarray(gm.plane_scatter(g, zidx, yxidx, offsets, d, hw))
+    monkeypatch.setattr(gm, "_VMEM_IMG_BUDGET", 1024)
+    flat = np.asarray(gm.plane_scatter(g, zidx, yxidx, offsets, d, hw))
+    np.testing.assert_allclose(resident, flat, atol=1e-5)
