@@ -346,28 +346,31 @@ class ComposeAdversarialTransformSolver:
                                              train_flags, auxs)
                 perturbed = get_output(model, aug)
                 if has_geo:
-                    warped_back = self._predict_backward_pure(
-                        transforms, full, perturbed, train_flags, auxs)
                     # the validity mask is C identical channels; warp ONE
-                    # channel and let the losses broadcast it
+                    # channel and let the losses broadcast it.  The mask
+                    # (and anatomy) channels ride the SAME backward chain
+                    # as the prediction — one warp instead of 2-3 (the
+                    # kernels' cost is dominated by the per-tile band
+                    # sweep, which extra channels share)
                     ones = jnp.ones(init_output.shape[:1] + (1,)
                                     + init_output.shape[2:],
                                     init_output.dtype)
-                    fb_mask = self._predict_backward_pure(
+                    fwd_in = (jnp.concatenate([ones, anatomy_mask], axis=1)
+                              if use_anatomy else ones)
+                    fwd = self._predict_forward_pure(transforms, full,
+                                                     fwd_in, train_flags,
+                                                     auxs)
+                    c = perturbed.shape[1]
+                    both = self._predict_backward_pure(
                         transforms, full,
-                        self._predict_forward_pure(transforms, full, ones,
-                                                   train_flags, auxs),
+                        jnp.concatenate([perturbed, fwd], axis=1),
                         train_flags, auxs)
-                    fb_mask = _binarize_nonzero(fb_mask)
+                    warped_back = both[:, :c]
+                    fb_mask = _binarize_nonzero(both[:, c:c + 1])
                     dist = self.loss_fn(pred=warped_back,
                                         reference=init_output, mask=fb_mask)
                     if use_anatomy:
-                        rec = self._predict_backward_pure(
-                            transforms, full,
-                            self._predict_forward_pure(
-                                transforms, full, anatomy_mask, train_flags,
-                                auxs),
-                            train_flags, auxs)
+                        rec = both[:, c + 1:]
                         rec = jnp.where(rec >= 0.5, 1.0, 0.0)
                         reg = anatomy_reg_weight * jnp.mean(
                             (rec - anatomy_mask) ** 2)
@@ -485,12 +488,15 @@ class ComposeAdversarialTransformSolver:
                                 + init_output.shape[2:], init_output.dtype)
                 fwd = self._predict_forward_pure(transforms, params, ones,
                                                  eval_flags, auxs)
-                fb_mask = self._predict_backward_pure(transforms, params,
-                                                      fwd, eval_flags, auxs)
-                fb_mask = _binarize_nonzero(fb_mask)
-                warped = self._predict_backward_pure(transforms, params,
-                                                     adv_output, eval_flags,
-                                                     auxs)
+                # mask channel rides the prediction's backward chain: one
+                # warp pass instead of two
+                c = adv_output.shape[1]
+                both = self._predict_backward_pure(
+                    transforms, params,
+                    jnp.concatenate([adv_output, fwd], axis=1), eval_flags,
+                    auxs)
+                warped = both[:, :c]
+                fb_mask = _binarize_nonzero(both[:, c:])
                 dist = self.loss_fn(
                     pred=warped,
                     reference=jax.lax.stop_gradient(init_output),

@@ -21,11 +21,14 @@ import jax  # noqa: E402
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
-try:
-    _cpu0 = jax.devices("cpu")[0]
-    jax.config.update("jax_default_device", _cpu0)
-except Exception:  # pragma: no cover - no cpu backend should never happen
-    pass
+# ADVCHAIN_TEST_TPU=1 leaves the default backend (the real chip) in place
+# so tests/test_tpu_parity.py can exercise on-device kernel numerics.
+if os.environ.get("ADVCHAIN_TEST_TPU") != "1":
+    try:
+        _cpu0 = jax.devices("cpu")[0]
+        jax.config.update("jax_default_device", _cpu0)
+    except Exception:  # pragma: no cover - no cpu backend
+        pass
 
 
 @pytest.fixture(scope="session")

@@ -1,0 +1,79 @@
+"""On-device (TPU) numerics parity for the Pallas kernels.
+
+The regular suite runs the kernels in interpret mode on CPU, which is
+bit-exact f32 and CANNOT catch device-only issues (e.g. the MXU's default
+bf16 input rounding, fixed by _dot_f32's hi/lo split).  These tests only
+run when a TPU is the default backend:
+
+    ADVCHAIN_TEST_TPU=1 python -m pytest tests/test_tpu_parity.py -q
+
+They are skipped under the CPU-pinned conftest used by the main suite.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+
+def _on_tpu():
+    from advchain_tpu.ops.grid_sample import _on_tpu_device
+    return _on_tpu_device()
+
+
+pytestmark = pytest.mark.skipif(
+    not _on_tpu(), reason="requires a TPU default backend")
+
+
+@pytest.fixture
+def rng():
+    return np.random.RandomState(0)
+
+
+def test_corner_gather_f32_exact_on_device(rng):
+    from advchain_tpu.kernels import corner_gather
+    n, c, s = 2, 2, 4096
+    img = rng.rand(n, c, s).astype(np.float32)
+    idx = rng.randint(0, s - 2, (n, 1024)).astype(np.int32)
+    vals = np.asarray(corner_gather(jnp.asarray(img), jnp.asarray(idx),
+                                    (0, 1)))
+    for k in (0, 1):
+        ref = np.take_along_axis(img, idx[:, None, :] + k, axis=2)
+        # hi/lo split: ~1e-5 relative; plain MXU bf16 would be ~2e-3
+        np.testing.assert_allclose(vals[:, k], ref, atol=5e-5)
+
+
+def test_sampler_2d_matches_xla_on_device(rng):
+    from advchain_tpu.kernels import grid_sample_2d_pallas
+    from advchain_tpu.ops.grid_sample import _grid_sample_2d_xla
+    x = jnp.asarray(rng.randn(2, 3, 96, 96).astype(np.float32))
+    grid = jnp.asarray((rng.rand(2, 96, 96, 2) * 2.2 - 1.1)
+                       .astype(np.float32))
+    a = grid_sample_2d_pallas(x, grid)
+    b = _grid_sample_2d_xla(x, grid)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+
+
+def test_sampler_3d_matches_xla_on_device(rng):
+    from advchain_tpu.kernels import grid_sample_3d_pallas
+    from advchain_tpu.ops.grid_sample import _grid_sample_3d_xla
+    x = jnp.asarray(rng.randn(1, 4, 6, 64, 64).astype(np.float32))
+    grid = jnp.asarray((rng.rand(1, 6, 64, 64, 3) * 2.0 - 1.0)
+                       .astype(np.float32))
+    a = grid_sample_3d_pallas(x, grid)
+    b = _grid_sample_3d_xla(x, grid)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+
+
+def test_sampler_3d_grads_match_xla_on_device(rng):
+    from advchain_tpu.kernels import grid_sample_3d_pallas
+    from advchain_tpu.ops.grid_sample import _grid_sample_3d_xla
+    x = jnp.asarray(rng.randn(1, 2, 5, 48, 48).astype(np.float32))
+    grid = jnp.asarray((rng.rand(1, 5, 48, 48, 3) * 1.8 - 0.9)
+                       .astype(np.float32))
+    ga = jax.grad(lambda a, g: jnp.sum(grid_sample_3d_pallas(a, g) ** 2),
+                  argnums=0)(x, grid)
+    gb = jax.grad(lambda a, g: jnp.sum(_grid_sample_3d_xla(a, g) ** 2),
+                  argnums=0)(x, grid)
+    np.testing.assert_allclose(np.asarray(ga), np.asarray(gb), atol=1e-3)
