@@ -39,6 +39,22 @@ def test_corner_scatter_is_transpose(rng):
     np.testing.assert_allclose(lhs, rhs, rtol=1e-5)
 
 
+def test_corner_scatter_chunk_major_matches_resident(rng, monkeypatch):
+    """The over-VMEM-budget chunk-major scatter must agree with the
+    resident (default) variant bit-for-bit on the same inputs."""
+    from advchain_tpu.kernels import gather_matmul as gm
+    n, c, s, p = 2, 2, 1500, 700
+    offsets = (0, 1, 25, 26)
+    idx = jnp.asarray(rng.randint(0, s - 40, (n, p)).astype(np.int32))
+    g = jnp.asarray(rng.rand(n, len(offsets), c, p).astype(np.float32))
+    resident = np.asarray(gm.corner_scatter(g, idx, offsets, s))
+    monkeypatch.setattr(gm, "_VMEM_IMG_BUDGET", 1024)  # nothing fits
+    gm.corner_scatter.clear_cache()
+    chunked = np.asarray(gm.corner_scatter(g, idx, offsets, s))
+    gm.corner_scatter.clear_cache()
+    np.testing.assert_allclose(chunked, resident, atol=1e-6)
+
+
 @pytest.mark.parametrize("padding_mode", ["zeros", "border", "reflection"])
 def test_pallas_2d_matches_torch(rng, padding_mode):
     x = rng.randn(3, 2, 17, 23).astype(np.float32)
