@@ -252,7 +252,7 @@ def corner_scatter(g, idx, offsets: Tuple[int, ...], s_out: int):
     # trailing dims
     g_r = jnp.moveaxis(g_r.reshape(n, k * c, n_ptiles, _PT), 1, 2)
     s_pad = -(-s_out // _CH) * _CH
-    if k * c * s_pad * 4 <= _VMEM_IMG_BUDGET:
+    if _fits_vmem(k, c, s_pad):
         out = _corner_scatter_resident(g_r, idx_4d, k, c, s_pad)
     else:
         out = _corner_scatter_chunk_major(g_r, idx_4d, k, c, s_pad)
@@ -283,8 +283,11 @@ def _corner_scatter_resident(g_r, idx_4d, k: int, c: int, s_pad: int):
 
         pix = idx_ref[0, 0, 0, :]  # (PT,)
         lane = jax.lax.broadcasted_iota(jnp.int32, (_PT, _CH), 1)
-        # -1 pads match nothing; clamp keeps the band start non-negative
-        lo = jnp.maximum(jnp.min(pix), 0) // _CH
+        # -1 pads match nothing: exclude them from the band min (else a
+        # tail tile sweeps chunks from 0) and clamp against n_chunks
+        lo = jnp.minimum(
+            jnp.min(jnp.where(pix < 0, jnp.int32(2 ** 30), pix)) // _CH,
+            n_chunks)
         hi = jnp.minimum(jnp.max(pix) // _CH + 1, n_chunks)
         gt = g_ref[0, 0]  # (K*C, PT)
 
