@@ -35,6 +35,7 @@ step sizes, README.md:205) is honored.
 
 from __future__ import annotations
 
+import collections
 import logging
 from typing import Any, Callable, List, Optional, Sequence
 
@@ -79,8 +80,35 @@ class ComposeAdversarialTransformSolver:
         self.max_intensity = max_intensity
         self.is_gt = is_gt
         self.class_weights = None
-        self._step_cache = {}
+        self._step_cache = collections.OrderedDict()
+        # strong refs keeping id()-keyed model objects alive for as long as
+        # their cache entries exist (an id reused after GC could otherwise
+        # alias a stale executable); the LRU bound keeps both dicts small
+        self._cache_pins = {}
         self._episode_counter = 0
+
+    _STEP_CACHE_MAX = 32
+
+    def _cache_get(self, key):
+        value = self._step_cache.get(key)
+        if value is not None:
+            self._step_cache.move_to_end(key)
+        return value
+
+    def _cache_put(self, key, value, pin=None):
+        self._step_cache[key] = value
+        self._step_cache.move_to_end(key)
+        if pin is not None:
+            self._cache_pins[key] = pin
+        while len(self._step_cache) > self._STEP_CACHE_MAX:
+            old, _ = self._step_cache.popitem(last=False)
+            self._cache_pins.pop(old, None)
+        return value
+
+    def clear_cache(self):
+        """Drop all cached episode/step executables (forces retrace)."""
+        self._step_cache.clear()
+        self._cache_pins.clear()
 
     def _next_episode_seed(self) -> int:
         self._episode_counter += 1
@@ -231,8 +259,17 @@ class ComposeAdversarialTransformSolver:
         for tr in chain_of_transforms:
             tr.eval()
         adv_data = self.forward(data, chain_of_transforms)
-        adv_output = self.get_net_output(model,
-                                         jax.lax.stop_gradient(adv_data))
+        # reference forces model.train() (+ _fix_dropout) for this pass
+        # (adv_compose_solver.py:256-259): batch statistics, fixed dropout
+        old_state = getattr(model, "training", None)
+        if hasattr(model, "train"):
+            model.train()
+        try:
+            adv_output = self.get_net_output(
+                model, jax.lax.stop_gradient(adv_data))
+        finally:
+            if old_state is not None and hasattr(model, "train"):
+                model.train(old_state)
         if self.if_contains_geo_transform(chain_of_transforms):
             masks = jnp.ones_like(init_output)
             forward_mask = self.predict_forward(masks, chain_of_transforms)
@@ -252,14 +289,46 @@ class ComposeAdversarialTransformSolver:
     def compute_anatomy_misoverlapping_loss(self, anatomy_mask_images):
         """Volume-preservation penalty: MSE between the binarized
         roundtripped anatomy mask and the original
-        (reference adv_compose_solver.py:281-287)."""
-        recovered = self.predict_backward(
-            self.predict_forward(anatomy_mask_images))
-        recovered = jnp.where(recovered >= 0.5, 1.0, 0.0)
-        score = jnp.mean((recovered - anatomy_mask_images) ** 2)
+        (reference adv_compose_solver.py:281-287).
+
+        Fused: the whole eval-mode roundtrip (precompute deformations once,
+        forward-warp, backward-warp, binarize, MSE) is one cached device
+        program — the retry loops in optimizing_transform and
+        init_random_transformation call this once per decision instead of
+        dispatching 2x chain-length eager warps."""
+        params = tuple(t.param for t in self.chain_of_transforms)
+        if any(p is None for p in params):
+            # not yet initialized: fall back to the stateful path (inits
+            # lazily, reference forward() auto-init semantics)
+            recovered = self.predict_backward(
+                self.predict_forward(anatomy_mask_images))
+            recovered = jnp.where(recovered >= 0.5, 1.0, 0.0)
+            score = jnp.mean((recovered - anatomy_mask_images) ** 2)
+        else:
+            fn = self._get_misoverlap_fn(tuple(anatomy_mask_images.shape))
+            score = fn(params, anatomy_mask_images)
         if self.debug:
             print("anatomy preserving error:", float(score))
         return score
+
+    def _get_misoverlap_fn(self, mask_shape):
+        key = ("misoverlap", mask_shape,
+               tuple(type(t).__name__ for t in self.chain_of_transforms))
+        if self._cache_get(key) is None:
+            transforms = tuple(self.chain_of_transforms)
+
+            def misoverlap(params, mask):
+                eval_flags = (False,) * len(transforms)
+                auxs = self._precompute_chain(transforms, params, eval_flags)
+                fwd = self._predict_forward_pure(transforms, params, mask,
+                                                 eval_flags, auxs)
+                rec = self._predict_backward_pure(transforms, params, fwd,
+                                                  eval_flags, auxs)
+                rec = jnp.where(rec >= 0.5, 1.0, 0.0)
+                return jnp.mean((rec - mask) ** 2)
+
+            self._cache_put(key, jax.jit(misoverlap))
+        return self._cache_get(key)
 
     # ------------------------------------------------- jitted PGD machinery
     def _functional_chain_state(self):
@@ -407,7 +476,7 @@ class ComposeAdversarialTransformSolver:
         key = ("init_all",
                tuple(type(t).__name__ for t in self.chain_of_transforms),
                tuple(tuple(t.data_size) for t in self.chain_of_transforms))
-        if key not in self._step_cache:
+        if self._cache_get(key) is None:
             transforms = tuple(self.chain_of_transforms)
 
             def init_all(base_key):
@@ -415,14 +484,14 @@ class ComposeAdversarialTransformSolver:
                 return tuple(t.init_params(k)
                              for t, k in zip(transforms, keys))
 
-            self._step_cache[key] = jax.jit(init_all)
-        return self._step_cache[key]
+            self._cache_put(key, jax.jit(init_all))
+        return self._cache_get(key)
 
     def _get_project_all_fn(self, optimize_flags):
         """Fused projection (rescale_parameters) for flagged transforms."""
         key = ("project_all", tuple(optimize_flags),
                tuple(type(t).__name__ for t in self.chain_of_transforms))
-        if key not in self._step_cache:
+        if self._cache_get(key) is None:
             transforms = tuple(self.chain_of_transforms)
             flags = tuple(optimize_flags)
 
@@ -430,14 +499,32 @@ class ComposeAdversarialTransformSolver:
                 return tuple(t.project(p) if f else p
                              for t, p, f in zip(transforms, params, flags))
 
-            self._step_cache[key] = jax.jit(project_all)
-        return self._step_cache[key]
+            self._cache_put(key, jax.jit(project_all))
+        return self._cache_get(key)
 
-    def _model_call(self, model, x, dropout_key=None, variables=None):
+    def _model_call(self, model, x, dropout_key=None, variables=None,
+                    train=None):
         """Route a frozen-network forward.  When the model exposes Flax
         variables they are passed as TRACED arguments (``variables``) so the
         cached episode executable follows weight updates — a closure would
-        bake the weights in as constants.  ``dropout_key`` likewise."""
+        bake the weights in as constants.  ``dropout_key`` likewise.
+
+        ``train`` forces the BN mode; None follows the model's torch-style
+        mode flag (model.train()/model.eval()).  The FINAL consistency pass
+        passes train=True to mirror the reference's forced model.train()
+        there (adv_compose_solver.py:256-259)."""
+        if train is None:
+            train = bool(getattr(model, "training",
+                                 getattr(model, "use_batch_stats_in_solver",
+                                         True)))
+        # honor a user-overridden get_net_output hook (reference
+        # README.md:287-288): route through it instead of the direct apply.
+        # Note: inside a cached episode program the hook's weights are baked
+        # as constants (keyed by id(model) via _model_cache_key).
+        overridden = (type(self).get_net_output
+                      is not ComposeAdversarialTransformSolver.get_net_output)
+        if overridden:
+            return self.get_net_output(model, x)
         if variables is not None and hasattr(model, "module"):
             rngs = ({"dropout": dropout_key}
                     if dropout_key is not None else None)
@@ -445,25 +532,33 @@ class ComposeAdversarialTransformSolver:
                 variables = model._cast_in(variables)
                 x = model._cast_in(x)
             out = model.module.apply(
-                variables, x,
-                train=getattr(model, "use_batch_stats_in_solver", True),
-                rngs=rngs, mutable=False)
+                variables, x, train=train, rngs=rngs, mutable=False)
             return (out.astype(jnp.float32)
                     if getattr(model, "compute_dtype", None) is not None
                     else out)
         if dropout_key is not None and hasattr(model, "apply_fixed"):
-            return model.apply_fixed(x, dropout_key)
+            return model.apply_fixed(x, dropout_key, train=train)
+        if hasattr(model, "apply_fixed"):
+            return model.apply_fixed(x, model._episode_rng, train=train)
         return self.get_net_output(model, x)
 
-    @staticmethod
-    def _model_cache_key(model):
+    def _model_cache_key(self, model):
         """Stable identity for the program cache: the Flax module for
         wrappers (weights are traced arguments, so params updates reuse the
-        executable); object id for plain callables (their weights are baked
-        as constants — rebuild the callable and you pay a retrace)."""
-        if hasattr(model, "module"):
-            return ("module", id(model.module))
-        return ("callable", id(model))
+        executable); object id for plain callables and overridden
+        get_net_output hooks (their weights are baked as constants —
+        rebuild the callable and you pay a retrace).  The torch-style mode
+        flag is part of the key: train/eval compile different programs."""
+        overridden = (type(self).get_net_output
+                      is not ComposeAdversarialTransformSolver.get_net_output)
+        mode = bool(getattr(model, "training",
+                            getattr(model, "use_batch_stats_in_solver",
+                                    True)))
+        dtype = getattr(model, "compute_dtype", None)
+        dtype = None if dtype is None else str(dtype)
+        if hasattr(model, "module") and not overridden:
+            return ("module", id(model.module), mode, dtype)
+        return ("callable", id(model), mode, overridden, dtype)
 
     @staticmethod
     def _model_variables(model):
@@ -513,11 +608,13 @@ class ComposeAdversarialTransformSolver:
     def _get_final_loss_fn(self, model, data_shape):
         key = ("final", self._model_cache_key(model), tuple(data_shape),
                tuple(type(t).__name__ for t in self.chain_of_transforms))
-        if key not in self._step_cache:
+        if self._cache_get(key) is None:
+            # reference forces model.train() for the final consistency pass
+            # (adv_compose_solver.py:256-259): batch statistics, fixed dropout
             raw = self._final_loss_math(
-                lambda x, mv=None: self._model_call(model, x))
-            self._step_cache[key] = jax.jit(raw)
-        return self._step_cache[key]
+                lambda x, mv=None: self._model_call(model, x, train=True))
+            self._cache_put(key, jax.jit(raw), pin=model)
+        return self._cache_get(key)
 
     def _get_episode_fn(self, model, optimize_flags, step_sizes, n_iter,
                         warm: bool, data_shape):
@@ -532,7 +629,7 @@ class ComposeAdversarialTransformSolver:
                tuple(data_shape),
                tuple(t.power_iteration for t in self.chain_of_transforms),
                tuple(type(t).__name__ for t in self.chain_of_transforms))
-        if key not in self._step_cache:
+        if self._cache_get(key) is None:
             transforms = tuple(self.chain_of_transforms)
             flags = tuple(bool(f) for f in optimize_flags)
             steps = tuple(float(s) for s in step_sizes)
@@ -544,6 +641,10 @@ class ComposeAdversarialTransformSolver:
                 k_drop, k_init = jax.random.split(base)
                 model_fn = lambda x: self._model_call(model, x, k_drop,
                                                       model_vars)
+                # final pass: forced batch statistics (reference
+                # model.train() + _fix_dropout, adv_compose_solver.py:256)
+                model_fn_final = lambda x: self._model_call(
+                    model, x, k_drop, model_vars, train=True)
                 if init_output_in is None:
                     init_output = jax.lax.stop_gradient(model_fn(data))
                 else:
@@ -567,7 +668,7 @@ class ComposeAdversarialTransformSolver:
                                    for t, p, f in
                                    zip(transforms, params, flags))
                 params = jax.lax.stop_gradient(params)
-                final = self._final_loss_math(model_fn)
+                final = self._final_loss_math(model_fn_final)
                 dist, adv_data, adv_output, warped = final(
                     params, data, init_output)
                 # pseudo-labels for get_adv_data: init predictions pushed
@@ -580,8 +681,8 @@ class ComposeAdversarialTransformSolver:
                         init_output, jnp.stack(dists) if dists else
                         jnp.zeros((0,)), pseudo_label)
 
-            self._step_cache[key] = jax.jit(episode)
-        return self._step_cache[key]
+            self._cache_put(key, jax.jit(episode), pin=model)
+        return self._cache_get(key)
 
     def _get_pgd_step(self, model, optimize_flags, step_sizes, use_anatomy,
                       anatomy_reg_weight, data_shape):
@@ -591,11 +692,85 @@ class ComposeAdversarialTransformSolver:
                tuple(data_shape),
                tuple(t.power_iteration for t in self.chain_of_transforms),
                tuple(type(t).__name__ for t in self.chain_of_transforms))
-        if key not in self._step_cache:
-            self._step_cache[key] = self._build_pgd_step(
+        if self._cache_get(key) is None:
+            self._cache_put(key, self._build_pgd_step(
                 model, optimize_flags, step_sizes, use_anatomy,
-                anatomy_reg_weight)
-        return self._step_cache[key]
+                anatomy_reg_weight), pin=model)
+        return self._cache_get(key)
+
+    def compute_transform_grads(self, data, model, init_output=None,
+                                optimize_flags=None):
+        """The JAX equivalent of the reference manual loop's
+        ``dist.backward()`` (README.md:177-214 recipe; grads land on
+        ``.param.grad`` there, adv_noise.py:51-64): computes the
+        consistency-loss gradient w.r.t. every (flagged) transform's
+        current params in ONE jitted program and stashes it as
+        ``transform.grad``, so ``transform.optimize_parameters(step)``
+        then works with no arguments, as in the reference.
+
+        Returns (dist, grads) — grads is a tuple aligned with the chain
+        (None for unflagged transforms)."""
+        if optimize_flags is None:
+            optimize_flags = [True] * len(self.chain_of_transforms)
+        flags = tuple(bool(f) for f in optimize_flags)
+        for t, f in zip(self.chain_of_transforms, flags):
+            if f:
+                t.train()
+        if init_output is None:
+            init_output = self.get_init_output(data=data, model=model)
+        key = ("transform_grads", self._model_cache_key(model), flags,
+               tuple(data.shape),
+               tuple(type(t).__name__ for t in self.chain_of_transforms))
+        if self._cache_get(key) is None:
+            transforms = tuple(self.chain_of_transforms)
+
+            def grads_fn(params, data_, init_output_):
+                def dist_fn(opt_params):
+                    full = []
+                    it = iter(opt_params)
+                    for p, f in zip(params, flags):
+                        full.append(next(it) if f else p)
+                    full = tuple(full)
+                    train_flags = flags
+                    auxs = self._precompute_chain(transforms, full,
+                                                  train_flags)
+                    aug = self._chain_apply_pure(transforms, full, data_,
+                                                 train_flags, auxs)
+                    perturbed = self._model_call(model, aug)
+                    if self.if_contains_geo_transform():
+                        ones = jnp.ones(
+                            init_output_.shape[:1] + (1,)
+                            + init_output_.shape[2:], init_output_.dtype)
+                        fwd = self._predict_forward_pure(
+                            transforms, full, ones, train_flags, auxs)
+                        c = perturbed.shape[1]
+                        both = self._predict_backward_pure(
+                            transforms, full,
+                            jnp.concatenate([perturbed, fwd], axis=1),
+                            train_flags, auxs)
+                        warped = both[:, :c]
+                        fb_mask = _binarize_nonzero(both[:, c:c + 1])
+                        return self.loss_fn(pred=warped,
+                                            reference=init_output_,
+                                            mask=fb_mask)
+                    return self.loss_fn(
+                        pred=perturbed,
+                        reference=jax.lax.stop_gradient(init_output_))
+
+                opt_params = tuple(p for p, f in zip(params, flags) if f)
+                return jax.value_and_grad(dist_fn)(opt_params)
+
+            self._cache_put(key, jax.jit(grads_fn), pin=model)
+        params = tuple(t.param for t in self.chain_of_transforms)
+        dist, gs = self._cache_get(key)(
+            params, jax.lax.stop_gradient(data), init_output)
+        git = iter(gs)
+        out = []
+        for t, f in zip(self.chain_of_transforms, flags):
+            g = next(git) if f else None
+            t.grad = g
+            out.append(g)
+        return dist, tuple(out)
 
     def optimizing_transform(self, model, data, init_output, optimize_flags,
                              n_iter: int = 1, step_sizes=None,

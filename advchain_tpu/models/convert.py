@@ -86,9 +86,12 @@ def torch_unet_state_to_flax(state_dict) -> Tuple[dict, dict]:
 
 
 def get_unet_model(model_path: str, num_classes: int = 2, device=None,
-                   model_arch: str = "UNet_16") -> SegmentationModel:
+                   model_arch: str = "UNet_16",
+                   compute_dtype=None) -> SegmentationModel:
     """Load a trained reference checkpoint into a Flax UNet
-    (reference models/unet.py:17-36).  ``device`` accepted for API parity."""
+    (reference models/unet.py:17-36).  ``device`` accepted for API parity.
+    ``compute_dtype`` (e.g. jnp.bfloat16) enables the wrapper's reduced-
+    precision speed mode for the network forward/backward."""
     assert os.path.exists(model_path), f"{model_path} does not exist"
     import torch  # local import: torch is a test/convert-time dependency
     state = torch.load(model_path, map_location="cpu")
@@ -101,4 +104,5 @@ def get_unet_model(model_path: str, num_classes: int = 2, device=None,
     else:
         raise NotImplementedError(model_arch)
     params, batch_stats = torch_unet_state_to_flax(state)
-    return SegmentationModel(module, params, batch_stats)
+    return SegmentationModel(module, params, batch_stats,
+                             compute_dtype=compute_dtype)

@@ -31,7 +31,15 @@ class SegmentationModel:
         self.batch_stats = batch_stats or {}
         self._base_rng = rng if rng is not None else jax.random.PRNGKey(0)
         self._episode_rng = self._base_rng
-        self.use_batch_stats_in_solver = use_batch_stats_in_solver
+        # torch-style module mode (reference model.train()/model.eval()):
+        # training=True -> solver forwards use BATCH statistics without
+        # write-back (the _disable_tracking_bn_stats train-mode semantics,
+        # reference common/utils.py:114-147); training=False -> running
+        # averages (the notebooks' model.eval() usage).  The solver's FINAL
+        # consistency pass forces batch statistics regardless, mirroring the
+        # reference's model.train() there (adv_compose_solver.py:256-259).
+        self.training = bool(use_batch_stats_in_solver)
+        self._adaptive_bn = False
         # opt-in speed mode: cast params + activations to e.g. bfloat16 for
         # the network forward/backward (halves HBM traffic on the UNet, the
         # episode's floor cost); outputs are returned in float32.  Off by
@@ -39,10 +47,12 @@ class SegmentationModel:
         self.compute_dtype = compute_dtype
         # jit once per (train-mode, structure); params/rng are traced args so
         # episodes and updated weights reuse the same executable
-        self._jit_apply = jax.jit(
-            lambda v, x, rng: self._cast_out(self.module.apply(
-                self._cast_in(v), self._cast_in(x), train=True,
-                rngs={"dropout": rng}, mutable=False)))
+        self._jit_apply = {}
+        for mode in (False, True):
+            self._jit_apply[mode] = jax.jit(
+                lambda v, x, rng, _m=mode: self._cast_out(self.module.apply(
+                    self._cast_in(v), self._cast_in(x), train=_m,
+                    rngs={"dropout": rng}, mutable=False)))
         self._jit_predict = jax.jit(
             lambda v, x: self._cast_out(self.module.apply(
                 self._cast_in(v), self._cast_in(x), train=False,
@@ -77,6 +87,26 @@ class SegmentationModel:
     def _cast_out(self, y):
         return y.astype(jnp.float32) if self.compute_dtype is not None else y
 
+    # ----------------------------------------------------- torch-style mode
+    @property
+    def use_batch_stats_in_solver(self):
+        """Back-compat alias for ``training``."""
+        return self.training
+
+    @use_batch_stats_in_solver.setter
+    def use_batch_stats_in_solver(self, value):
+        self.training = bool(value)
+
+    def train(self, mode: bool = True):
+        """Reference model.train(): solver forwards use batch statistics."""
+        self.training = bool(mode)
+        return self
+
+    def eval(self):
+        """Reference model.eval(): solver forwards use running averages."""
+        self.training = False
+        return self
+
     # ------------------------------------------------------ solver contract
     def begin_episode(self, key=None):
         """Redraw the fixed dropout mask for a new adversarial episode."""
@@ -94,19 +124,23 @@ class SegmentationModel:
         if isinstance(x, jax.core.Tracer):
             return self._cast_out(self.module.apply(
                 self._cast_in(self._variables()), self._cast_in(x),
-                train=self.use_batch_stats_in_solver,
+                train=self.training,
                 rngs={"dropout": self._episode_rng}, mutable=False))
-        return self._jit_apply(self._variables(), x, self._episode_rng)
+        if self._adaptive_bn:
+            return self._adaptive_apply(x)
+        return self._jit_apply[self.training](self._variables(), x,
+                                              self._episode_rng)
 
-    def apply_fixed(self, x, dropout_rng):
+    def apply_fixed(self, x, dropout_rng, train=None):
         """Pure fixed-network forward with an explicit dropout rng — used by
         the solver's fused episode program so the key is a traced argument
         (a closure-captured key would be baked into the cached executable
-        as a constant and never change across episodes)."""
+        as a constant and never change across episodes).  ``train`` forces a
+        BN mode; None follows the module mode (torch semantics)."""
+        train = self.training if train is None else bool(train)
         return self._cast_out(self.module.apply(
             self._cast_in(self._variables()), self._cast_in(x),
-            train=self.use_batch_stats_in_solver,
-            rngs={"dropout": dropout_rng}, mutable=False))
+            train=train, rngs={"dropout": dropout_rng}, mutable=False))
 
     # --------------------------------------------------------- user loops
     def predict(self, x):
@@ -128,6 +162,74 @@ class SegmentationModel:
         return out, mutated.get("batch_stats", batch_stats)
 
     # ----------------------------------------- reference model utilities
+    def adaptive_bn(self, if_enable: bool = False):
+        """Reference UNet.adaptive_bn (models/unet.py:117-122): when
+        enabled, frozen-network forwards ALSO update the BN running
+        statistics from the incoming batch (torch: module.train() +
+        track_running_stats=True) — the BN-recalibration domain-adaptation
+        recipe.  Here: eager ``__call__`` writes updated batch_stats back
+        onto the wrapper while still returning batch-stat-normalized
+        outputs."""
+        self._adaptive_bn = bool(if_enable)
+
+    def _adaptive_apply(self, x):
+        out, mutated = self.module.apply(
+            self._variables(), x, train=True,
+            rngs={"dropout": self._episode_rng}, mutable=["batch_stats"])
+        self.batch_stats = mutated.get("batch_stats", self.batch_stats)
+        return out
+
+    def fix_conv_params_mask(self):
+        """Optax-style mask (True = trainable) freezing every conv
+        kernel/bias and training everything else (BN affines) — reference
+        UNet.fix_conv_params (models/unet.py:132-147).  A Flax module is a
+        'conv' iff it owns a ``kernel`` leaf (the isinstance(nn.Conv2d)
+        analogue).  Use with ``optax.masked``."""
+        conv_parents = set()
+        flat = jax.tree_util.tree_flatten_with_path(self.params)[0]
+        for path, _ in flat:
+            names = [getattr(k, "key", str(k)) for k in path]
+            if names[-1] == "kernel":
+                conv_parents.add(tuple(names[:-1]))
+
+        def mask(path, v):
+            names = tuple(getattr(k, "key", str(k)) for k in path[:-1])
+            return names not in conv_parents
+        return jax.tree_util.tree_map_with_path(mask, self.params)
+
+    def activate_conv_params_mask(self):
+        """All-trainable mask (reference activate_conv_params,
+        models/unet.py:148-155)."""
+        return jax.tree_util.tree_map(lambda _: True, self.params)
+
+    def lr_group_masks(self, head_keys=("outc",)):
+        """(body_mask, head_mask) partition for the reference's lr groups:
+        get_1x_lr_params_NOscale yields every body parameter,
+        get_10x_lr_params the classification head (models/unet.py:183-218).
+        """
+        def is_head(path):
+            top = getattr(path[0], "key", str(path[0]))
+            return any(top == k or top.startswith(k) for k in head_keys)
+        body = jax.tree_util.tree_map_with_path(
+            lambda p, v: not is_head(p), self.params)
+        head = jax.tree_util.tree_map_with_path(
+            lambda p, v: is_head(p), self.params)
+        return body, head
+
+    def optim_parameters(self, learning_rate: float, optimizer_factory=None,
+                         head_keys=("outc",)):
+        """Reference UNet.optim_parameters (models/unet.py:219-222): body
+        at ``learning_rate``, classification head at 10x.  Returns an optax
+        GradientTransformation (default factory: optax.sgd)."""
+        import optax
+        if optimizer_factory is None:
+            optimizer_factory = optax.sgd
+        body, head = self.lr_group_masks(head_keys)
+        return optax.chain(
+            optax.masked(optimizer_factory(learning_rate), body),
+            optax.masked(optimizer_factory(10.0 * learning_rate), head),
+        )
+
     def init_bn(self):
         """Reset all BN running stats to (0, 1) — reference UNet.init_bn
         (models/unet.py:124-130)."""

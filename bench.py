@@ -1,16 +1,32 @@
-"""Headline benchmark: adversarial chain training step throughput.
+"""Benchmarks vs the PyTorch reference (BASELINE.md configs #1-#5).
 
-Workload (BASELINE.md config #2): 192x192 cardiac images, 4-transform chain
-(noise -> bias -> affine -> morph), 1-step PGD maximizing ['mse','contour']
-consistency against the trained UNet_16 checkpoint, then the final
-consistency pass — i.e. one full ``adversarial_training`` call.
+Default run (the driver contract) prints ONE JSON line for the headline
+metric (config #2): adversarial chain training episode throughput —
+192x192 images, 4-transform chain (noise -> bias -> affine -> morph),
+1-step PGD maximizing ['mse','contour'] consistency against the trained
+UNet_16 checkpoint, i.e. one full ``adversarial_training`` call.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
-``vs_baseline`` is measured against the PyTorch reference implementation
-running the same workload on CPU (the reference's only runnable target in
-this container; it has no published numbers — BASELINE.md).  Set
-ADVCHAIN_BENCH_SKIP_TORCH=1 to skip the baseline re-measurement and use the
-recorded constant.
+``python bench.py --full`` additionally measures configs #1 (random-chain
+augmentation throughput), #3 (anatomy-constrained solve), #4 (3D volumes),
+and #5 (fused adversarial train step, batch 64) and writes one JSON line
+per config to BENCH_full.json.
+
+Timing methodology:
+* ``jax.block_until_ready`` is a NO-OP under the tunneled TPU runtime; the
+  only honest sync is a device->host transfer (``float(...)``) — every
+  measured section ends with one.
+* The torch-CPU baseline (the reference's only runnable target; it
+  publishes no numbers — BASELINE.md) is RECORDED below with methodology,
+  not re-measured per run: a shared-host CPU measurement is the noisiest
+  part of the pipeline and the recorded value is the per-rep MAX (most
+  favorable to the reference).  Re-measure with
+  ADVCHAIN_BENCH_MEASURE_TORCH=1.
+* The TPU number is the MEDIAN of 7 reps after 2 warm reps; the persistent
+  compilation cache (.jax_cache) makes the compile cost a one-time event.
+* Batch sweep (2026-08-19, f32): 16 -> 36.7, 32 -> 41.8, 64 -> 43.3,
+  128 -> 45.5 img/s; bfloat16 compute adds only ~1% (the episode is
+  sampler-bound, not matmul-bound), so the headline stays f32 (full
+  reference parity).  BATCH=128 is the recorded operating point.
 """
 
 import json
@@ -21,13 +37,19 @@ import types
 
 import numpy as np
 
-BATCH = 16
+BATCH = 128
 SHAPE = (192, 192)
 N_ITER = 1
-REPEATS = 5
-# torch-CPU reference throughput measured on this container (img/s) for the
-# same workload at batch 4; re-measured live unless skipped.
-RECORDED_TORCH_CPU_IMGS_PER_SEC = None
+WARM_REPS = 2
+REPS = 7
+
+# torch-CPU reference throughput (img/s) for the SAME workload (config #2,
+# batch 4 — CPU-friendly; throughput normalized per image), measured on
+# this container 2026-08-19 with torch.set_num_threads(os.cpu_count()),
+# per-rep MAX of 3 reps after 1 warmup.  Prior driver-session measurement
+# was 0.704 img/s; the HIGHER (reference-favorable) number is recorded.
+# Re-measure with ADVCHAIN_BENCH_MEASURE_TORCH=1.
+RECORDED_TORCH_CPU_IMGS_PER_SEC = 0.996
 
 CKPT = "/root/reference/example/saved_checkpoints/cardiac_seg_unet_16.pth"
 
@@ -41,6 +63,18 @@ def make_image(batch, shape):
     r = np.random.RandomState(0)
     x = np.broadcast_to(img, (batch, 1) + shape).copy()
     return (x + 0.05 * r.rand(batch, 1, *shape)).astype(np.float32)
+
+
+def make_volume(batch, shape3d):
+    d, h, w = shape3d
+    ii, jj, kk = np.meshgrid(np.arange(d), np.arange(h), np.arange(w),
+                             indexing="ij")
+    img = np.exp(-(((ii - d / 2) / (d / 3)) ** 2
+                   + ((jj - h / 2) / (h / 4)) ** 2
+                   + ((kk - w / 2) / (w / 4)) ** 2))
+    r = np.random.RandomState(0)
+    x = np.broadcast_to(img, (batch, 1) + shape3d).copy()
+    return (x + 0.05 * r.rand(batch, 1, *shape3d)).astype(np.float32)
 
 
 def chain_configs(batch, shape):
@@ -58,7 +92,7 @@ def chain_configs(batch, shape):
     }
 
 
-def bench_tpu():
+def _setup_jax():
     import jax
     try:  # persistent compilation cache: the driver's bench run reuses it
         jax.config.update("jax_compilation_cache_dir",
@@ -66,48 +100,248 @@ def bench_tpu():
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
     except Exception:
         pass
+    return jax
+
+
+def _build_chain(cfg):
+    from advchain_tpu.augmentor import (AdvAffine, AdvBias, AdvMorph,
+                                        AdvNoise)
+    return [
+        AdvNoise(config_dict=cfg["noise"]),
+        AdvBias(config_dict=cfg["bias"]),
+        AdvAffine(config_dict=cfg["affine"]),
+        AdvMorph(config_dict=cfg["morph"]),
+    ]
+
+
+def _median_throughput(once, units):
+    """2 warm reps then median-of-REPS throughput; once() must end with a
+    device->host transfer."""
+    for _ in range(WARM_REPS):
+        once()
+    vals = []
+    for _ in range(REPS):
+        t0 = time.perf_counter()
+        once()
+        vals.append(units / (time.perf_counter() - t0))
+    vals.sort()
+    return vals[len(vals) // 2]
+
+
+# ------------------------------------------------------------- config #2
+def bench_headline(batch=BATCH):
+    _setup_jax()
+    import jax.numpy as jnp
+    from advchain_tpu.augmentor import ComposeAdversarialTransformSolver
+    from advchain_tpu.models import get_unet_model
+
+    cfg = chain_configs(batch, SHAPE)
+    solver = ComposeAdversarialTransformSolver(
+        chain_of_transforms=_build_chain(cfg),
+        divergence_types=["mse", "contour"],
+        divergence_weights=[1.0, 0.5])
+    model = get_unet_model(CKPT, num_classes=4, model_arch="UNet_16")
+    data = jnp.asarray(make_image(batch, SHAPE))
+
+    def once():
+        d = solver.adversarial_training(
+            data=data, model=model, n_iter=N_ITER,
+            power_iteration="smart", step_sizes=1.0)
+        return float(d)  # honest sync: device->host scalar
+
+    return _median_throughput(once, batch)
+
+
+# ------------------------------------------------------------- config #1
+def bench_random_chain(batch=BATCH):
+    """Random-init chain applied to a batch: fused (init + 4-transform
+    forward) as one device program per episode."""
+    jax = _setup_jax()
+    import jax.numpy as jnp
+    from advchain_tpu.augmentor import ComposeAdversarialTransformSolver
+
+    cfg = chain_configs(batch, SHAPE)
+    chain = _build_chain(cfg)
+    solver = ComposeAdversarialTransformSolver(
+        chain_of_transforms=chain, divergence_types=["mse"],
+        divergence_weights=[1.0])
+    transforms = tuple(chain)
+    init_all = solver._get_init_all_fn()
+
+    @jax.jit
+    def episode(seed, data):
+        params = init_all(jax.random.PRNGKey(seed))
+        eval_flags = (False,) * len(transforms)
+        return solver._chain_apply_pure(transforms, params, data,
+                                        eval_flags)
+
+    data = jnp.asarray(make_image(batch, SHAPE))
+    counter = iter(range(10 ** 9))
+
+    def once():
+        out = episode(next(counter), data)
+        return float(out.ravel()[0])
+
+    return _median_throughput(once, batch)
+
+
+# ------------------------------------------------------------- config #3
+def bench_constrained_solve(batch=4, n_iter=3):
+    """Prostate-style anatomy-preserving multi-step solve with the 'lowest'
+    custom padding; reports median wall-clock per solve and the
+    volume-preserve success rate."""
+    _setup_jax()
     import jax.numpy as jnp
     from advchain_tpu.augmentor import (AdvAffine, AdvBias, AdvMorph,
                                         AdvNoise,
                                         ComposeAdversarialTransformSolver)
     from advchain_tpu.models import get_unet_model
 
-    cfg = chain_configs(BATCH, SHAPE)
+    cfg = chain_configs(batch, SHAPE)
     chain = [
         AdvNoise(config_dict=cfg["noise"]),
         AdvBias(config_dict=cfg["bias"]),
-        AdvAffine(config_dict=cfg["affine"]),
-        AdvMorph(config_dict=cfg["morph"]),
+        AdvAffine(config_dict=cfg["affine"], image_padding_mode="lowest"),
+        AdvMorph(config_dict=cfg["morph"], image_padding_mode="lowest"),
     ]
     solver = ComposeAdversarialTransformSolver(
         chain_of_transforms=chain, divergence_types=["mse", "contour"],
         divergence_weights=[1.0, 0.5])
     model = get_unet_model(CKPT, num_classes=4, model_arch="UNet_16")
-    data = jnp.asarray(make_image(BATCH, SHAPE))
+    data = jnp.asarray(make_image(batch, SHAPE))
+    ii, jj = np.meshgrid(np.arange(SHAPE[0]), np.arange(SHAPE[1]),
+                         indexing="ij")
+    mask = ((((ii - 96) / 40.0) ** 2 + ((jj - 96) / 34.0) ** 2) < 1.0)
+    anatomy = jnp.asarray(
+        np.broadcast_to(mask, (batch, 1) + SHAPE).astype(np.float32))
 
-    def once():
+    tol = 5e-4
+    times, successes = [], 0
+    n_solves = 5
+
+    def solve():
+        solver.reset_transformation()
         d = solver.adversarial_training(
-            data=data, model=model, n_iter=N_ITER,
-            power_iteration="smart", step_sizes=1.0)
-        # block_until_ready is a NO-OP under the axon tunnel; a device->host
-        # scalar transfer is the only honest synchronization
+            data=data, model=model, n_iter=n_iter,
+            anatomy_mask_images=anatomy, anatomy_reg_weight=50,
+            volume_preserve_tolerance=tol, step_sizes=1.0)
         return float(d)
 
-    once()  # compile
-    t0 = time.perf_counter()
-    for _ in range(REPEATS):
-        once()
-    dt = (time.perf_counter() - t0) / REPEATS
-    return BATCH / dt, dt
+    solve()  # warm/compile
+    for _ in range(n_solves):
+        t0 = time.perf_counter()
+        solve()
+        times.append(time.perf_counter() - t0)
+        mis = float(solver.compute_anatomy_misoverlapping_loss(anatomy))
+        successes += mis <= tol
+    times.sort()
+    return times[len(times) // 2], successes / n_solves
+
+
+# ------------------------------------------------------------- config #4
+def bench_3d(batch=2, shape3d=(12, 192, 192)):
+    """Cardiac 3D beta workload: trilinear affine+morph+3D bias chain and
+    the reference's pseudo Conv3d model, 1-step PGD."""
+    _setup_jax()
+    import jax
+    import jax.numpy as jnp
+    from advchain_tpu.augmentor import (AdvAffine, AdvBias, AdvMorph,
+                                        AdvNoise,
+                                        ComposeAdversarialTransformSolver)
+    from advchain_tpu.models import PseudoConv3dModel, SegmentationModel
+
+    size = [batch, 1, *shape3d]
+    chain = [
+        AdvNoise(spatial_dims=3,
+                 config_dict={"epsilon": 1.0, "xi": 1e-6, "data_size": size}),
+        AdvBias(spatial_dims=3,
+                config_dict={"epsilon": 0.3,
+                             "control_point_spacing":
+                                 [max(s // 2, 2) for s in shape3d],
+                             "downscale": 4, "data_size": size,
+                             "interpolation_order": 3,
+                             "init_mode": "random", "space": "log"}),
+        AdvAffine(spatial_dims=3,
+                  config_dict={"rot_x": 10.0 / 180, "rot_y": 10.0 / 180,
+                               "rot_z": 10.0 / 180, "scale_x": 0.1,
+                               "scale_y": 0.1, "scale_z": 0.1,
+                               "shift_x": 0.1, "shift_y": 0.1,
+                               "shift_z": 0.1, "data_size": size}),
+        AdvMorph(spatial_dims=3,
+                 config_dict={"epsilon": 1.5, "data_size": size,
+                              "vector_size": [max(shape3d[0] // 2, 2),
+                                              shape3d[1] // 16,
+                                              shape3d[2] // 16]}),
+    ]
+    solver = ComposeAdversarialTransformSolver(
+        chain_of_transforms=chain, divergence_types=["mse"],
+        divergence_weights=[1.0])
+    model = SegmentationModel.create(PseudoConv3dModel(num_classes=4),
+                                     tuple(size),
+                                     rng=jax.random.PRNGKey(0))
+    data = jnp.asarray(make_volume(batch, shape3d))
+
+    def once():
+        d = solver.adversarial_training(data=data, model=model,
+                                        n_iter=N_ITER, step_sizes=1.0)
+        return float(d)
+
+    return _median_throughput(once, batch)
+
+
+# ------------------------------------------------------------- config #5
+def bench_fused_train_step(batch=64):
+    """Full adversarial TRAINING step (PGD inner loop + supervised +
+    consistency losses + grads + adam update) fused as one program."""
+    jax = _setup_jax()
+    import jax.numpy as jnp
+    import optax
+    from advchain_tpu.augmentor import ComposeAdversarialTransformSolver
+    from advchain_tpu.models import UNet, SegmentationModel
+    from advchain_tpu.parallel import TrainState, make_adversarial_train_step
+
+    cfg = chain_configs(batch, SHAPE)
+    solver = ComposeAdversarialTransformSolver(
+        chain_of_transforms=_build_chain(cfg),
+        divergence_types=["mse", "contour"],
+        divergence_weights=[1.0, 0.5])
+    model = SegmentationModel.create(UNet(num_classes=4, feature_scale=4),
+                                     (batch, 1, *SHAPE),
+                                     rng=jax.random.PRNGKey(0))
+    opt = optax.adam(1e-4)
+    step = make_adversarial_train_step(model, solver, opt, n_iter=N_ITER,
+                                       power_iteration="smart",
+                                       donate_state=False)
+    state = TrainState.create(model, opt)
+    r = np.random.RandomState(0)
+    batch_data = {
+        "image": jnp.asarray(make_image(batch, SHAPE)),
+        "label": jnp.asarray(r.randint(0, 4, (batch,) + SHAPE)),
+    }
+    rng = jax.random.PRNGKey(1)
+    holder = {"state": state}
+
+    def once():
+        s, metrics = step(holder["state"], batch_data, rng)
+        holder["state"] = s
+        return float(metrics["total_loss"])
+
+    return _median_throughput(once, batch)
+
+
+# ------------------------------------------------------- torch baselines
+def _import_torch_reference():
+    if "SimpleITK" not in sys.modules:
+        sys.modules["SimpleITK"] = types.ModuleType("SimpleITK")
+    if not hasattr(np, "Inf"):
+        np.Inf = np.inf  # reference uses np.Inf (removed in numpy 2.0)
+    sys.path.insert(0, "/root/reference")
 
 
 def bench_torch_reference():
-    """Run the reference implementation itself on CPU (same workload)."""
-    if "SimpleITK" not in sys.modules:
-        sys.modules["SimpleITK"] = types.ModuleType("SimpleITK")
-    sys.path.insert(0, "/root/reference")
-    if not hasattr(np, "Inf"):
-        np.Inf = np.inf  # reference uses np.Inf (removed in numpy 2.0)
+    """Run the reference implementation itself on CPU (config #2 workload,
+    batch 4; per-rep MAX throughput — most favorable to the reference)."""
+    _import_torch_reference()
     try:
         import torch
         torch.set_num_threads(os.cpu_count() or 8)
@@ -143,8 +377,6 @@ def bench_torch_reference():
                 power_iteration="smart", step_sizes=1.0)
 
         once()  # warm caches
-        # per-rep MAX throughput: most favorable to the reference (shields
-        # the ratio from transient CPU contention on the shared host)
         best = 0.0
         for _ in range(3):
             t0 = time.perf_counter()
@@ -155,22 +387,52 @@ def bench_torch_reference():
         sys.path.pop(0)
 
 
-def main():
-    imgs_per_sec, step_latency = bench_tpu()
+def _headline_json():
+    imgs_per_sec = bench_headline()
     baseline = RECORDED_TORCH_CPU_IMGS_PER_SEC
-    if os.environ.get("ADVCHAIN_BENCH_SKIP_TORCH") != "1" or baseline is None:
+    if os.environ.get("ADVCHAIN_BENCH_MEASURE_TORCH") == "1" \
+            or baseline is None:
         try:
             baseline = bench_torch_reference()
         except Exception as e:  # baseline failure must not kill the bench
             print(f"# torch reference baseline failed: {e}", file=sys.stderr)
             baseline = None
     vs = (imgs_per_sec / baseline) if baseline else float("nan")
-    print(json.dumps({
+    return {
         "metric": "adv_chain_train_images_per_sec_192px_4tf_pgd1",
         "value": round(imgs_per_sec, 2),
         "unit": "images/sec/chip",
         "vs_baseline": round(vs, 2) if vs == vs else None,
-    }))
+    }
+
+
+def main():
+    headline = _headline_json()
+    print(json.dumps(headline))
+    if "--full" not in sys.argv:
+        return
+    lines = [headline]
+    v1 = bench_random_chain()
+    lines.append({"metric": "random_chain_images_per_sec_192px_4tf",
+                  "value": round(v1, 2), "unit": "images/sec/chip",
+                  "vs_baseline": None})
+    t3, sr3 = bench_constrained_solve()
+    lines.append({"metric": "anatomy_constrained_solve_seconds",
+                  "value": round(t3, 3), "unit": "s/solve (batch 4, 3-step)",
+                  "vs_baseline": None, "success_rate": sr3})
+    v4 = bench_3d()
+    lines.append({"metric": "adv_chain_3d_volumes_per_sec_12x192x192",
+                  "value": round(v4, 3), "unit": "volumes/sec/chip",
+                  "vs_baseline": None})
+    v5 = bench_fused_train_step()
+    lines.append({"metric": "fused_adv_train_step_images_per_sec_b64",
+                  "value": round(v5, 2), "unit": "images/sec/chip",
+                  "vs_baseline": None})
+    with open("/root/repo/BENCH_full.json", "w") as f:
+        for line in lines:
+            f.write(json.dumps(line) + "\n")
+    for line in lines[1:]:
+        print(json.dumps(line))
 
 
 if __name__ == "__main__":

@@ -118,3 +118,85 @@ def test_checkpoint_conversion_batchstats_mode_parity():
     mine = np.asarray(ours(jnp.asarray(x)))
     dev = np.abs(mine - theirs).max()
     assert dev < 1e-2, f"max deviation {dev}"
+
+
+# --------------------------------- reference training utilities (unet.py)
+def test_adaptive_bn_updates_running_stats():
+    """adaptive_bn(True) makes frozen-net forwards update BN running stats
+    (reference models/unet.py:117-122); disabled leaves them untouched."""
+    model = SegmentationModel.create(UNet(num_classes=2, feature_scale=16),
+                                     (2, 1, 32, 32))
+    x = jnp.asarray(np.random.RandomState(0).rand(2, 1, 32, 32), jnp.float32)
+    before = jax.tree_util.tree_leaves(model.batch_stats)
+    model(x)
+    mid = jax.tree_util.tree_leaves(model.batch_stats)
+    assert all(np.array_equal(a, b) for a, b in zip(before, mid))
+    model.adaptive_bn(True)
+    y = model(x)
+    after = jax.tree_util.tree_leaves(model.batch_stats)
+    assert not all(np.array_equal(a, b) for a, b in zip(mid, after))
+    # outputs still batch-stat-normalized: identical to non-adaptive call
+    model.adaptive_bn(False)
+    # jit (cached apply) vs eager (adaptive apply) float32 rounding,
+    # amplified through 4 BN+conv levels on a random-init net
+    np.testing.assert_allclose(np.asarray(y), np.asarray(model(x)),
+                               rtol=0, atol=1e-3)
+
+
+def test_fix_conv_params_mask_partitions():
+    """fix_conv_params freezes exactly the conv kernels+biases and trains
+    everything else (reference models/unet.py:132-147)."""
+    model = SegmentationModel.create(UNet(num_classes=2, feature_scale=16),
+                                     (1, 1, 32, 32))
+    mask = model.fix_conv_params_mask()
+    flat = jax.tree_util.tree_flatten_with_path(mask)[0]
+    params_flat = dict(
+        ("/".join(getattr(k, "key", str(k)) for k in p), v)
+        for p, v in jax.tree_util.tree_flatten_with_path(model.params)[0])
+    n_frozen = n_train = 0
+    for path, trainable in flat:
+        key = "/".join(getattr(k, "key", str(k)) for k in path)
+        parent = key.rsplit("/", 1)[0]
+        is_conv = (parent + "/kernel") in params_flat
+        assert trainable == (not is_conv), key
+        n_frozen += not trainable
+        n_train += bool(trainable)
+    assert n_frozen > 0 and n_train > 0
+    # activate_conv_params: everything trainable again
+    assert all(jax.tree_util.tree_leaves(model.activate_conv_params_mask()))
+
+
+def test_optim_parameters_lr_groups():
+    """Body updates at lr, head (outc) at 10x lr — reference
+    optim_parameters (models/unet.py:219-222)."""
+    import optax
+    model = SegmentationModel.create(UNet(num_classes=2, feature_scale=16),
+                                     (1, 1, 32, 32))
+    tx = model.optim_parameters(0.1)
+    state = tx.init(model.params)
+    grads = jax.tree_util.tree_map(jnp.ones_like, model.params)
+    updates, _ = tx.update(grads, state, model.params)
+    flat = jax.tree_util.tree_flatten_with_path(updates)[0]
+    for path, u in flat:
+        top = getattr(path[0], "key", str(path[0]))
+        expected = -1.0 if top.startswith("outc") else -0.1
+        np.testing.assert_allclose(np.asarray(u).ravel()[0], expected,
+                                   rtol=1e-6)
+
+
+def test_bf16_compute_mode_parity_and_predictions():
+    """compute_dtype=bfloat16 speed mode: logits track f32 within bf16
+    precision (~1% of logit scale) and the argmax segmentation is nearly
+    identical — the documented accuracy cost of the bench's bf16 mode."""
+    f32 = get_unet_model(CKPT, num_classes=4, model_arch="UNet_16")
+    bf16 = get_unet_model(CKPT, num_classes=4, model_arch="UNet_16",
+                          compute_dtype=jnp.bfloat16)
+    x = jnp.asarray(np.random.RandomState(5).rand(2, 1, 192, 192),
+                    jnp.float32)
+    a = np.asarray(f32.predict(x))
+    b = np.asarray(bf16.predict(x))
+    assert b.dtype == np.float32  # outputs cast back
+    scale = np.abs(a).max()
+    assert np.abs(a - b).max() < 0.05 * scale, (np.abs(a - b).max(), scale)
+    agree = (a.argmax(1) == b.argmax(1)).mean()
+    assert agree > 0.99, agree

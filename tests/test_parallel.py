@@ -109,3 +109,36 @@ def test_supervised_step_overfits_small_batch():
             first = float(metrics["total_loss"])
     last = float(metrics["total_loss"])
     assert last < 0.85 * first, (first, last)
+
+
+def test_mesh_matches_single_device_adversarial(cpu_devices):
+    """Sharded ADVERSARIAL step == single-device step with identical rng.
+    The step is GSPMD (jit + NamedSharding), so BN batch statistics are
+    computed globally across shards (XLA inserts the collectives) — the
+    semantics promise numerical equivalence up to reduction order, unlike
+    per-shard-BN pmap designs."""
+    mesh = make_mesh(8, devices=cpu_devices)
+    model, solver, batch = _setup(seed=4)
+    opt = optax.sgd(1e-2)
+    rng = jax.random.PRNGKey(9)
+
+    step1 = make_adversarial_train_step(model, solver, opt, n_iter=1,
+                                        donate_state=False)
+    state1, m1 = step1(TrainState.create(model, opt), batch, rng)
+
+    model8, solver8, _ = _setup(seed=4)  # fresh solver: separate step cache
+    step8 = make_adversarial_train_step(model8, solver8, opt, n_iter=1,
+                                        mesh=mesh, donate_state=False)
+    state8 = replicate_to_mesh(TrainState.create(model8, opt), mesh)
+    state8, m8 = step8(state8, shard_batch(batch, mesh),
+                       replicate_to_mesh(rng, mesh))
+
+    np.testing.assert_allclose(float(m1["total_loss"]),
+                               float(m8["total_loss"]), rtol=1e-4)
+    np.testing.assert_allclose(float(m1["consistency_loss"]),
+                               float(m8["consistency_loss"]), rtol=1e-3)
+    p1 = jax.tree_util.tree_leaves(state1.params)
+    p8 = jax.tree_util.tree_leaves(state8.params)
+    for a, b in zip(p1, p8):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5)

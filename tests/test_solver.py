@@ -274,3 +274,44 @@ def test_lazy_load_partial_init_keeps_existing_params():
     np.testing.assert_allclose(np.asarray(t1.param), np.asarray(fixed),
                                atol=1e-7)
     assert t2.param is not None
+
+
+def test_reference_manual_loop_recipe():
+    """The reference's self-sufficient stateful loop (README.md:177-214):
+    init -> forward -> 'dist.backward()' -> optimize_parameters() with NO
+    gradient argument.  compute_transform_grads stashes transform.grad
+    (reference autograd on .param, adv_noise.py:51-64)."""
+    chain = full_chain(seed=11)
+    solver = ComposeAdversarialTransformSolver(
+        chain_of_transforms=chain, divergence_types=["mse"],
+        divergence_weights=[1.0])
+    model = make_model()
+    data = make_data()
+    solver.init_random_transformation()
+    init_output = solver.get_init_output(data=data, model=model)
+    before = [np.asarray(t.param) for t in chain]
+
+    dist0, grads = solver.compute_transform_grads(data, model,
+                                                  init_output=init_output)
+    assert np.isfinite(float(dist0))
+    for t, g in zip(chain, grads):
+        assert g is not None and g.shape == t.param.shape
+        assert np.asarray(t.grad is g) or np.array_equal(
+            np.asarray(t.grad), np.asarray(g))
+        t.optimize_parameters(step_size=1.0)  # no grad argument: reference
+        t.rescale_parameters()
+        t.eval()
+    after = [np.asarray(t.param) for t in chain]
+    assert all(not np.allclose(b, a) for b, a in zip(before, after))
+
+    # ascent: the updated chain yields a larger divergence
+    dist1, _ = solver.compute_transform_grads(data, model,
+                                              init_output=init_output)
+    assert float(dist1) > float(dist0), (float(dist0), float(dist1))
+
+
+def test_optimize_parameters_without_grad_raises_when_unstashed():
+    t = AdvNoise(config_dict={"epsilon": 0.1, "xi": 1e-6, "data_size": SIZE})
+    t.init_parameters()
+    with pytest.raises(ValueError):
+        t.optimize_parameters(step_size=1.0)
