@@ -200,3 +200,35 @@ def test_bf16_compute_mode_parity_and_predictions():
     assert np.abs(a - b).max() < 0.05 * scale, (np.abs(a - b).max(), scale)
     agree = (a.argmax(1) == b.argmax(1)).mean()
     assert agree > 0.99, agree
+
+
+def test_unet64_conversion_parity_random_weights(tmp_path):
+    """UNet_64 (feature_scale=1) conversion path: a random-init torch UNet
+    round-trips through the converter and matches torch on both BN modes
+    (no trained UNet_64 checkpoint ships with the reference; random weights
+    exercise the same mapping)."""
+    import torch
+    sys.path.insert(0, "/root/reference")
+    if "SimpleITK" not in sys.modules:
+        sys.modules["SimpleITK"] = types.ModuleType("SimpleITK")
+    try:
+        from advchain.models.unet import UNet as TorchUNet
+    finally:
+        sys.path.pop(0)
+    torch.manual_seed(0)
+    ref = TorchUNet(input_channel=1, num_classes=3, feature_scale=1)
+    # make running stats non-trivial so the eval path is a real check
+    ref.train()
+    with torch.no_grad():
+        for _ in range(2):
+            ref(torch.randn(2, 1, 64, 64))
+    ref.eval()
+    path = str(tmp_path / "unet64.pth")
+    torch.save(ref.state_dict(), path)
+    ours = get_unet_model(path, num_classes=3, model_arch="UNet_64")
+    x = np.random.RandomState(8).rand(1, 1, 64, 64).astype(np.float32)
+    with torch.no_grad():
+        theirs = ref(torch.from_numpy(x)).numpy()
+    mine = np.asarray(ours.predict(jnp.asarray(x)))
+    dev = np.abs(mine - theirs).max()
+    assert dev < 1e-3, f"max deviation {dev}"
