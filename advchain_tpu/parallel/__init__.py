@@ -2,6 +2,11 @@
 
 from advchain_tpu.parallel.mesh import (make_mesh, shard_batch,
                                         replicate_to_mesh)
+from advchain_tpu.parallel.spatial import (make_spatial_mesh,
+                                           volume_sharding, grid_sharding,
+                                           shard_volume, halo_exchange,
+                                           sharded_gaussian_smooth,
+                                           sharded_grid_sample)
 from advchain_tpu.parallel.train import (TrainState,
                                          make_adversarial_train_step,
                                          make_supervised_train_step)
@@ -10,4 +15,7 @@ __all__ = [
     "make_mesh", "shard_batch", "replicate_to_mesh",
     "TrainState", "make_adversarial_train_step",
     "make_supervised_train_step",
+    "make_spatial_mesh", "volume_sharding", "grid_sharding",
+    "shard_volume", "halo_exchange",
+    "sharded_gaussian_smooth", "sharded_grid_sample",
 ]

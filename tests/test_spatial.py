@@ -1,0 +1,121 @@
+"""Spatial (volume) sharding tests on the virtual 8-device CPU mesh.
+
+The sharded ops must be numerically identical (up to f32 reduction order)
+to their dense single-device counterparts in ``ops/`` — the halo exchange
+and all-gather are pure data movement.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from advchain_tpu.ops.conv import gaussian_smooth
+from advchain_tpu.ops.grid_sample import grid_sample
+from advchain_tpu.parallel import (make_spatial_mesh, shard_volume,
+                                   sharded_gaussian_smooth,
+                                   sharded_grid_sample)
+
+
+def _mesh(cpu_devices, n_data=2, n_space=4):
+    return make_spatial_mesh(n_data, n_space, devices=cpu_devices)
+
+
+def _rand(shape, seed=0, lo=0.0, hi=1.0):
+    r = np.random.RandomState(seed)
+    return jnp.asarray((lo + (hi - lo) * r.rand(*shape)).astype(np.float32))
+
+
+def test_sharded_gaussian_smooth_2d_matches_dense(cpu_devices):
+    mesh = _mesh(cpu_devices)
+    x = _rand((2, 3, 32, 16), seed=1)
+    dense = gaussian_smooth(x, sigma=1.0, kernel_size=5)
+    sharded = sharded_gaussian_smooth(shard_volume(x, mesh), mesh,
+                                      sigma=1.0, kernel_size=5)
+    np.testing.assert_allclose(np.asarray(sharded), np.asarray(dense),
+                               rtol=1e-6, atol=1e-6)
+
+
+def test_sharded_gaussian_smooth_2d_iters_matches_dense(cpu_devices):
+    mesh = _mesh(cpu_devices)
+    x = _rand((2, 2, 32, 12), seed=2)
+    dense = gaussian_smooth(x, sigma=1.0, kernel_size=5, iters=2)
+    sharded = sharded_gaussian_smooth(shard_volume(x, mesh), mesh,
+                                      sigma=1.0, kernel_size=5, iters=2)
+    np.testing.assert_allclose(np.asarray(sharded), np.asarray(dense),
+                               rtol=1e-6, atol=1e-6)
+
+
+def test_sharded_gaussian_smooth_3d_matches_dense(cpu_devices):
+    mesh = _mesh(cpu_devices)
+    # sigma=1 grows the kernel to 9 (halo 4); D local = 16/4 = 4 >= 4.
+    x = _rand((2, 2, 16, 10, 12), seed=3)
+    dense = gaussian_smooth(x, sigma=1.0, kernel_size=5)
+    sharded = sharded_gaussian_smooth(shard_volume(x, mesh), mesh,
+                                      sigma=1.0, kernel_size=5)
+    np.testing.assert_allclose(np.asarray(sharded), np.asarray(dense),
+                               rtol=1e-6, atol=1e-6)
+
+
+def test_sharded_gaussian_smooth_rejects_tiny_shards(cpu_devices):
+    mesh = _mesh(cpu_devices, n_data=1, n_space=8)
+    x = _rand((1, 1, 16, 8, 8), seed=4)  # D local = 2 < halo 4
+    with pytest.raises(AssertionError, match="halo"):
+        sharded_gaussian_smooth(x, mesh, sigma=1.0, kernel_size=5)
+
+
+@pytest.mark.parametrize("padding_mode", ["zeros", "border"])
+def test_sharded_grid_sample_2d_matches_dense(cpu_devices, padding_mode):
+    mesh = _mesh(cpu_devices)
+    x = _rand((2, 3, 32, 16), seed=5)
+    grid = _rand((2, 32, 16, 2), seed=6, lo=-1.15, hi=1.15)
+    dense = grid_sample(x, grid, padding_mode=padding_mode)
+    sharded = sharded_grid_sample(x, grid, mesh, padding_mode=padding_mode)
+    np.testing.assert_allclose(np.asarray(sharded), np.asarray(dense),
+                               rtol=1e-6, atol=1e-6)
+
+
+def test_sharded_grid_sample_3d_matches_dense(cpu_devices):
+    mesh = _mesh(cpu_devices)
+    x = _rand((2, 1, 8, 12, 12), seed=7)
+    grid = _rand((2, 8, 12, 12, 3), seed=8, lo=-1.1, hi=1.1)
+    dense = grid_sample(x, grid)
+    sharded = sharded_grid_sample(x, grid, mesh)
+    np.testing.assert_allclose(np.asarray(sharded), np.asarray(dense),
+                               rtol=1e-6, atol=1e-6)
+
+
+def test_sharded_grid_sample_grads_match_dense(cpu_devices):
+    """The chain differentiates through every warp: grads w.r.t. BOTH the
+    source volume and the sampling grid must survive shard_map (ppermute /
+    all_gather transpose to themselves / reduce-scatter)."""
+    mesh = _mesh(cpu_devices)
+    x = _rand((2, 2, 16, 8), seed=9)
+    grid = _rand((2, 16, 8, 2), seed=10, lo=-0.95, hi=0.95)
+
+    def dense_loss(x, g):
+        return jnp.sum(grid_sample(x, g) ** 2)
+
+    def sharded_loss(x, g):
+        return jnp.sum(sharded_grid_sample(x, g, mesh) ** 2)
+
+    gx_d, gg_d = jax.grad(dense_loss, argnums=(0, 1))(x, grid)
+    gx_s, gg_s = jax.grad(sharded_loss, argnums=(0, 1))(x, grid)
+    # all_gather's transpose is a reduce-scatter: f32 reduction order may
+    # differ from the dense VJP by ~1 ulp per accumulation step
+    np.testing.assert_allclose(np.asarray(gx_s), np.asarray(gx_d),
+                               rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(gg_s), np.asarray(gg_d),
+                               rtol=1e-4, atol=1e-6)
+
+
+def test_sharded_gaussian_smooth_grads_match_dense(cpu_devices):
+    mesh = _mesh(cpu_devices)
+    x = _rand((2, 1, 32, 8), seed=11)
+
+    gd = jax.grad(lambda v: jnp.sum(gaussian_smooth(v, 1.0, 5) ** 2))(x)
+    gs = jax.grad(lambda v: jnp.sum(
+        sharded_gaussian_smooth(v, mesh, 1.0, 5) ** 2))(x)
+    np.testing.assert_allclose(np.asarray(gs), np.asarray(gd),
+                               rtol=1e-5, atol=1e-6)
