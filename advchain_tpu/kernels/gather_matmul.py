@@ -668,6 +668,7 @@ def _channel_groups(k: int, c: int, s: int):
     return [(i, min(size, c - i)) for i in range(0, c, size)]
 
 
+@functools.partial(jax.jit, static_argnames=("padding_mode", "align_corners"))
 def grid_sample_2d_pallas(x, grid, padding_mode: str = "zeros",
                           align_corners: bool = True):
     """Drop-in bilinear 2D grid sample (torch semantics) on the Pallas
@@ -729,6 +730,7 @@ def grid_sample_2d_pallas(x, grid, padding_mode: str = "zeros",
     return out.reshape(n, c, ho, wo).astype(x.dtype)
 
 
+@functools.partial(jax.jit, static_argnames=("padding_mode", "align_corners"))
 def grid_sample_3d_pallas(x, grid, padding_mode: str = "zeros",
                           align_corners: bool = True):
     """Trilinear 3D grid sample (torch semantics) on the Pallas path.

@@ -8,6 +8,7 @@ from advchain_tpu.losses.consistency import (
     kl_divergence,
     one_hot,
     cross_entropy_2d,
+    cross_entropy,
 )
 
 __all__ = [
@@ -18,4 +19,5 @@ __all__ = [
     "kl_divergence",
     "one_hot",
     "cross_entropy_2d",
+    "cross_entropy",
 ]

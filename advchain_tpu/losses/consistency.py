@@ -258,3 +258,26 @@ def cross_entropy_2d(input, target, weight=None, size_average: bool = True):
                 plogq = plogq / (n * h * w)
         return -1.0 * plogq
     raise NotImplementedError("target must be 3-D labels or 4-D probs")
+
+
+def cross_entropy(input, target, weight=None, size_average: bool = True):
+    """Rank-generic cross-entropy: logits (N, C, *S) with hard labels
+    (N, *S) or soft probs (N, C, *S) for any spatial rank.
+
+    The reference only ships a 2D CE (loss.py:274-327); this flattens the
+    trailing spatial dims and defers to ``cross_entropy_2d`` so the fused
+    train steps work on 3D volumes too (framework extension, same math).
+    """
+    n, c = input.shape[:2]
+    s = int(np.prod(input.shape[2:]))
+    logits = input.reshape(n, c, s, 1)
+    if target.ndim == input.ndim - 1:       # hard labelmap
+        tgt = target.reshape(n, s, 1)
+    elif target.ndim == input.ndim:         # soft probabilities
+        tgt = target.reshape(n, c, s, 1)
+    else:
+        raise NotImplementedError(
+            f"target rank {target.ndim} does not match logits rank "
+            f"{input.ndim}")
+    return cross_entropy_2d(logits, tgt, weight=weight,
+                            size_average=size_average)

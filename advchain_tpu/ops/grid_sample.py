@@ -21,6 +21,7 @@ Implementation notes (XLA-first):
 
 from __future__ import annotations
 
+import contextlib
 import functools
 
 import jax
@@ -86,13 +87,35 @@ def _on_tpu_device() -> bool:
     return jax.default_backend() == "tpu"
 
 
+_FORCE_IMPL = None  # 'xla' | 'pallas' | None; see force_impl()
+
+
+@contextlib.contextmanager
+def force_impl(impl):
+    """Force the sampler implementation ('xla' | 'pallas') while tracing.
+
+    Takes precedence over ADVCHAIN_GRID_SAMPLE_IMPL.  Used by the
+    spatially-sharded train steps: a pallas_call has no SPMD partitioning
+    rule, so programs partitioned over a 'space' mesh axis trace the XLA
+    sampler instead.  The dispatch happens OUTSIDE the per-impl jit caches,
+    so traces under different impls never alias.
+    """
+    global _FORCE_IMPL
+    assert impl in ("xla", "pallas", None), impl
+    prev, _FORCE_IMPL = _FORCE_IMPL, impl
+    try:
+        yield
+    finally:
+        _FORCE_IMPL = prev
+
+
 def _use_pallas() -> bool:
     """Route bilinear/trilinear sampling through the Pallas gather-matmul
     kernels on TPU (XLA's TPU gather is ~3-10x slower for these patterns;
     see kernels/gather_matmul.py).  Override with ADVCHAIN_GRID_SAMPLE_IMPL
-    = 'xla' | 'pallas'."""
+    = 'xla' | 'pallas' (or force_impl() while tracing)."""
     import os
-    impl = os.environ.get("ADVCHAIN_GRID_SAMPLE_IMPL", "auto")
+    impl = _FORCE_IMPL or os.environ.get("ADVCHAIN_GRID_SAMPLE_IMPL", "auto")
     if impl == "xla":
         return False
     if impl == "pallas":
@@ -100,13 +123,13 @@ def _use_pallas() -> bool:
     return _on_tpu_device()
 
 
-@functools.partial(jax.jit, static_argnames=("mode", "padding_mode", "align_corners"))
 def grid_sample_2d(x, grid, mode: str = "bilinear", padding_mode: str = "zeros",
                    align_corners: bool = True):
     """Sample ``x`` (N, C, H, W) at ``grid`` (N, Ho, Wo, 2); grid[..., 0]=x (W axis).
 
     Matches ``torch.nn.functional.grid_sample`` bit-for-bit up to float32
-    rounding (<1e-6 in tests).
+    rounding (<1e-6 in tests).  Impl dispatch (pallas vs XLA) happens here,
+    outside the jitted impls, so the jit caches never alias across impls.
     """
     n, c, h, w = x.shape
     _, ho, wo, two = grid.shape
@@ -118,6 +141,8 @@ def grid_sample_2d(x, grid, mode: str = "bilinear", padding_mode: str = "zeros",
     return _grid_sample_2d_xla(x, grid, mode, padding_mode, align_corners)
 
 
+@functools.partial(jax.jit, static_argnames=("mode", "padding_mode",
+                                             "align_corners"))
 def _grid_sample_2d_xla(x, grid, mode="bilinear", padding_mode="zeros",
                         align_corners=True):
     n, c, h, w = x.shape
@@ -170,7 +195,6 @@ def _grid_sample_2d_xla(x, grid, mode="bilinear", padding_mode="zeros",
     return out.reshape(n, c, ho, wo).astype(x.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("mode", "padding_mode", "align_corners"))
 def grid_sample_3d(x, grid, mode: str = "bilinear", padding_mode: str = "zeros",
                    align_corners: bool = True):
     """Sample ``x`` (N, C, D, H, W) at ``grid`` (N, Do, Ho, Wo, 3).
@@ -188,6 +212,8 @@ def grid_sample_3d(x, grid, mode: str = "bilinear", padding_mode: str = "zeros",
     return _grid_sample_3d_xla(x, grid, mode, padding_mode, align_corners)
 
 
+@functools.partial(jax.jit, static_argnames=("mode", "padding_mode",
+                                             "align_corners"))
 def _grid_sample_3d_xla(x, grid, mode="bilinear", padding_mode="zeros",
                         align_corners=True):
     n, c, d, h, w = x.shape

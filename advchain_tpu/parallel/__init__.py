@@ -4,7 +4,8 @@ from advchain_tpu.parallel.mesh import (make_mesh, shard_batch,
                                         replicate_to_mesh)
 from advchain_tpu.parallel.spatial import (make_spatial_mesh,
                                            volume_sharding, grid_sharding,
-                                           shard_volume, halo_exchange,
+                                           shard_volume, shard_batch_spatial,
+                                           halo_exchange,
                                            sharded_gaussian_smooth,
                                            sharded_grid_sample)
 from advchain_tpu.parallel.train import (TrainState,
@@ -16,6 +17,6 @@ __all__ = [
     "TrainState", "make_adversarial_train_step",
     "make_supervised_train_step",
     "make_spatial_mesh", "volume_sharding", "grid_sharding",
-    "shard_volume", "halo_exchange",
+    "shard_volume", "shard_batch_spatial", "halo_exchange",
     "sharded_gaussian_smooth", "sharded_grid_sample",
 ]

@@ -45,8 +45,8 @@ from advchain_tpu.ops.grid_sample import grid_sample
 
 __all__ = [
     "make_spatial_mesh", "volume_sharding", "grid_sharding",
-    "shard_volume", "halo_exchange", "sharded_gaussian_smooth",
-    "sharded_grid_sample",
+    "shard_volume", "shard_batch_spatial", "halo_exchange",
+    "sharded_gaussian_smooth", "sharded_grid_sample",
 ]
 
 _DATA, _SPACE = "data", "space"
@@ -78,6 +78,17 @@ def shard_volume(x, mesh: Mesh):
     """Place (N, C, D, H, W) or (N, C, H, W) with N over 'data' and the
     leading spatial axis over 'space'."""
     return jax.device_put(x, volume_sharding(mesh))
+
+
+def shard_batch_spatial(batch, mesh: Mesh):
+    """Place a {'image', 'label'} batch for a spatially-sharded train step:
+    image (N, C, *S) with the leading spatial axis over 'space', hard label
+    (N, *S) likewise (see ``parallel.train._mesh_shardings``)."""
+    out = dict(batch)
+    out["image"] = jax.device_put(batch["image"], volume_sharding(mesh))
+    out["label"] = jax.device_put(
+        batch["label"], NamedSharding(mesh, P(_DATA, _SPACE)))
+    return out
 
 
 def halo_exchange(x_local, halo: int, axis: int, axis_name: str = _SPACE):

@@ -10,9 +10,21 @@ the host between batches.
 
 Scale-out: pass a ``Mesh`` — the batch dim is sharded over the ``data``
 axis, model/optimizer state is replicated, and XLA inserts the psum grad
-reductions over ICI (no hand-written collectives).  BatchNorm statistics
-are computed per-shard (matching torch DDP semantics, and the reference's
-single-device behavior at shard size = global batch).
+reductions over ICI (no hand-written collectives).  The step is GSPMD
+(jit + NamedSharding), so BatchNorm statistics are computed globally
+across shards — numerically equivalent to the single-device step up to
+f32 reduction order.
+
+For 3D volumes that exceed one chip's HBM, pass a 2-D
+``Mesh(('data', 'space'))`` (see ``parallel.spatial.make_spatial_mesh``):
+the image's leading spatial axis (D for NCDHW, H for NCHW) is additionally
+sharded over ``space`` and the SPMD partitioner inserts the halo exchanges
+for the stencils and gathers for the warps.  The batch must then be a dict
+with exactly ``image``/``label`` (place it with
+``parallel.spatial.shard_batch_spatial``).  Spatially-sharded runs force
+the XLA sampler path — a pallas_call has no SPMD partitioning rule, so the
+kernels would be wasteful under an automatically partitioned program (on a
+1-wide ``space`` axis the kernels stay on).
 
 The rare-path behaviors (anatomy-preserving graduated retries, rejection
 sampling) are host-side control flow and intentionally NOT in this fused
@@ -29,10 +41,42 @@ import jax.numpy as jnp
 import optax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from advchain_tpu.losses import cross_entropy_2d
+from advchain_tpu.losses import cross_entropy
+# note: the ops package re-exports the grid_sample FUNCTION under the same
+# name, which shadows the submodule on attribute-style imports
+from advchain_tpu.ops.grid_sample import force_impl as _force_sampler_impl
 
 __all__ = ["TrainState", "make_adversarial_train_step",
            "make_supervised_train_step"]
+
+
+def _mesh_shardings(mesh: Mesh, axis_name: str):
+    """(replicated, batch, traced_fn_wrapper) shardings for a train step.
+
+    1-D mesh: batch dim 0 over ``axis_name`` (prefix spec, any batch keys).
+    2-D ('data', 'space') mesh with |space| > 1: the image's leading
+    spatial axis (dim 2 of NC*S) and the hard label's (dim 1 of N*S) are
+    additionally sharded over 'space' — the batch must then be exactly
+    {'image', 'label'}.  Spatial programs trace the XLA sampler
+    (grid_sample.force_impl): pallas_call has no SPMD partitioning rule.
+    """
+    repl = NamedSharding(mesh, P())
+    spatial = ("space" in mesh.axis_names
+               and mesh.shape["space"] > 1)
+    if not spatial:
+        return repl, NamedSharding(mesh, P(axis_name)), (lambda f: f)
+    batch_sh = {
+        "image": NamedSharding(mesh, P(axis_name, None, "space")),
+        "label": NamedSharding(mesh, P(axis_name, "space")),
+    }
+
+    def trace_with_xla_sampler(fn):
+        def wrapper(*args, **kwargs):  # runs at trace time under jit
+            with _force_sampler_impl("xla"):
+                return fn(*args, **kwargs)
+        return wrapper
+
+    return repl, batch_sh, trace_with_xla_sampler
 
 
 class TrainState(NamedTuple):
@@ -88,7 +132,7 @@ def make_adversarial_train_step(
     steps = tuple(solver._normalize_step_sizes(step_sizes))
     has_geo = solver.if_contains_geo_transform()
     if supervised_loss_fn is None:
-        supervised_loss_fn = cross_entropy_2d
+        supervised_loss_fn = cross_entropy
 
     def train_step(state: TrainState, batch, rng):
         image = batch["image"]
@@ -146,10 +190,9 @@ def make_adversarial_train_step(
     if mesh is None:
         return jax.jit(train_step,
                        donate_argnums=(0,) if donate_state else ())
-    repl = NamedSharding(mesh, P())
-    shard = NamedSharding(mesh, P(axis_name))
+    repl, shard, wrap = _mesh_shardings(mesh, axis_name)
     return jax.jit(
-        train_step,
+        wrap(train_step),
         in_shardings=(repl, shard, repl),
         out_shardings=(repl, repl),
         donate_argnums=(0,) if donate_state else ())
@@ -162,7 +205,7 @@ def make_supervised_train_step(model, optimizer,
                                donate_state: bool = True):
     """Plain supervised baseline step (no adversarial augmentation)."""
     if supervised_loss_fn is None:
-        supervised_loss_fn = cross_entropy_2d
+        supervised_loss_fn = cross_entropy
 
     def train_step(state: TrainState, batch, rng):
         image = batch["image"]
@@ -186,10 +229,9 @@ def make_supervised_train_step(model, optimizer,
     if mesh is None:
         return jax.jit(train_step,
                        donate_argnums=(0,) if donate_state else ())
-    repl = NamedSharding(mesh, P())
-    shard = NamedSharding(mesh, P(axis_name))
+    repl, shard, wrap = _mesh_shardings(mesh, axis_name)
     return jax.jit(
-        train_step,
+        wrap(train_step),
         in_shardings=(repl, shard, repl),
         out_shardings=(repl, repl),
         donate_argnums=(0,) if donate_state else ())

@@ -220,3 +220,24 @@ def test_cross_entropy_2d_soft_targets(rng, weight):
         plogq = sum(torch.sum(r[:, i] * lp[:, i] * w[i]) for i in range(4))
         plogq = plogq / (2 * 8 * 8)
     np.testing.assert_allclose(ours, (-plogq).item(), rtol=1e-5, atol=1e-7)
+
+
+def test_cross_entropy_rank_generic_3d_matches_torch(rng):
+    """cross_entropy (framework extension; reference only ships a 2D CE,
+    loss.py:274) on 3D logits == torch mean CE."""
+    logits = _logits(rng, 2, 4, 3, 8, 8)
+    target = rng.randint(0, 4, (2, 3, 8, 8))
+    ours = float(losses.cross_entropy(jnp.asarray(logits),
+                                      jnp.asarray(target)))
+    theirs = F.cross_entropy(torch.from_numpy(logits),
+                             torch.from_numpy(target).long()).item()
+    np.testing.assert_allclose(ours, theirs, rtol=1e-5, atol=1e-7)
+
+
+def test_cross_entropy_rank_generic_matches_2d(rng):
+    logits = _logits(rng, 2, 4, 8, 8)
+    target = rng.randint(0, 4, (2, 8, 8))
+    a = float(losses.cross_entropy(jnp.asarray(logits), jnp.asarray(target)))
+    b = float(losses.cross_entropy_2d(jnp.asarray(logits),
+                                      jnp.asarray(target)))
+    np.testing.assert_allclose(a, b, rtol=1e-6)

@@ -6,6 +6,7 @@ and all-gather are pure data movement.
 """
 
 import numpy as np
+import optax
 import pytest
 
 import jax
@@ -14,8 +15,11 @@ import jax.numpy as jnp
 from advchain_tpu.ops.conv import gaussian_smooth
 from advchain_tpu.ops.grid_sample import grid_sample
 from advchain_tpu.parallel import (make_spatial_mesh, shard_volume,
+                                   shard_batch_spatial,
                                    sharded_gaussian_smooth,
-                                   sharded_grid_sample)
+                                   sharded_grid_sample,
+                                   TrainState, make_adversarial_train_step,
+                                   replicate_to_mesh)
 
 
 def _mesh(cpu_devices, n_data=2, n_space=4):
@@ -108,6 +112,65 @@ def test_sharded_grid_sample_grads_match_dense(cpu_devices):
                                rtol=1e-4, atol=1e-6)
     np.testing.assert_allclose(np.asarray(gg_s), np.asarray(gg_d),
                                rtol=1e-4, atol=1e-6)
+
+
+def test_spatial_mesh_adversarial_train_step_matches_single(cpu_devices):
+    """Full fused adversarial train step on a 2-D (data=2, space=4) mesh —
+    batch AND image-height sharded — matches the single-device step with
+    identical rng (GSPMD partitions the convs/warps; reduction-order f32
+    noise only)."""
+    from advchain_tpu.augmentor import (AdvAffine, AdvNoise,
+                                        ComposeAdversarialTransformSolver)
+    from advchain_tpu.models import UNet, SegmentationModel
+
+    size = [4, 1, 32, 32]
+
+    def setup():
+        model = SegmentationModel.create(
+            UNet(num_classes=4, feature_scale=16), tuple(size),
+            rng=jax.random.PRNGKey(5))
+        chain = [
+            AdvNoise(config_dict={"epsilon": 0.2, "xi": 1e-6,
+                                  "data_size": size}, seed=0),
+            AdvAffine(config_dict={"rot": 0.1, "scale_x": 0.1,
+                                   "scale_y": 0.1, "shift_x": 0.1,
+                                   "shift_y": 0.1, "data_size": size},
+                      seed=1),
+        ]
+        solver = ComposeAdversarialTransformSolver(
+            chain_of_transforms=chain, divergence_types=["mse"],
+            divergence_weights=[1.0])
+        return model, solver
+
+    r = np.random.RandomState(12)
+    batch = {
+        "image": jnp.asarray(r.rand(*size).astype(np.float32)),
+        "label": jnp.asarray(r.randint(0, 4, (size[0],) + tuple(size[2:]))),
+    }
+    opt = optax.sgd(1e-2)
+    rng = jax.random.PRNGKey(21)
+
+    model1, solver1 = setup()
+    step1 = make_adversarial_train_step(model1, solver1, opt, n_iter=1,
+                                        donate_state=False)
+    state1, m1 = step1(TrainState.create(model1, opt), batch, rng)
+
+    mesh = make_spatial_mesh(2, 4, devices=cpu_devices)
+    model2, solver2 = setup()
+    step2 = make_adversarial_train_step(model2, solver2, opt, n_iter=1,
+                                        mesh=mesh, donate_state=False)
+    state2 = replicate_to_mesh(TrainState.create(model2, opt), mesh)
+    state2, m2 = step2(state2, shard_batch_spatial(batch, mesh),
+                       replicate_to_mesh(rng, mesh))
+
+    np.testing.assert_allclose(float(m1["total_loss"]),
+                               float(m2["total_loss"]), rtol=1e-4)
+    np.testing.assert_allclose(float(m1["consistency_loss"]),
+                               float(m2["consistency_loss"]), rtol=1e-3)
+    for a, b in zip(jax.tree_util.tree_leaves(state1.params),
+                    jax.tree_util.tree_leaves(state2.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5)
 
 
 def test_sharded_gaussian_smooth_grads_match_dense(cpu_devices):
