@@ -17,6 +17,8 @@ adv_morph.py:538-539 has the non-inverted condition).
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 
@@ -44,6 +46,15 @@ class AdvMorph(AdvTransformBase):
             }
         self.forward_interp = "bilinear"
         self.backward_interp = "bilinear"
+        # remat policy for the scaling-and-squaring chain under autodiff:
+        # 'on' recomputes the chain in the backward pass (FLOPs for HBM),
+        # 'off' stores the intermediate grids, 'auto' remats only when the
+        # stored intermediates are big enough to threaten HBM.  Init-time
+        # env default (ADVCHAIN_MORPH_REMAT) — a trace-time read would
+        # alias jit caches across settings.
+        self.remat = kw.pop("remat", None) or os.environ.get(
+            "ADVCHAIN_MORPH_REMAT", "auto")
+        assert self.remat in ("auto", "on", "off"), self.remat
         super().__init__(spatial_dims=spatial_dims, config_dict=config_dict,
                          power_iteration=power_iteration, debug=debug,
                          seed=seed, **kw)
@@ -74,17 +85,33 @@ class AdvMorph(AdvTransformBase):
         v = 2.0 * jax.random.uniform(key, shape, dtype=jnp.float32) - 1.0
         return self.unit_normalize(v)
 
+    def _remat_demons(self) -> bool:
+        """Whether to rematerialize the scaling-and-squaring chain under
+        autodiff.  'auto': only when the stored intermediates (one full
+        flow field per composition step, several fields per loss) are big
+        enough to threaten HBM; small/2D workloads keep them resident and
+        skip the backward-pass recompute."""
+        if self.remat != "auto":
+            return self.remat == "on"
+        flow_bytes = 4 * self.batch_size * self.spatial_dims
+        for s in self.image_spatial:
+            flow_bytes *= s
+        # ~2x num_steps stored fields per differentiated compose; remat
+        # once that footprint passes ~1 GiB of a 16 GiB v5e HBM
+        return 2 * self.num_steps * flow_bytes > (1 << 30)
+
     def demons_compose(self, duv, smooth: bool = True):
         """Velocity -> full deformation grid in [-1, 1]
         (reference DemonsCompose, adv_morph.py:454-491).
 
-        Rematerialized under autodiff: the scaling-and-squaring chain's
-        intermediate grids are recomputed in the backward pass instead of
-        stored — without this, 3D volume episodes exceed HBM (each stored
-        phi is a full flow field, x8-16 compositions x several fields per
-        loss)."""
-        return jax.checkpoint(
-            lambda v: self._demons_compose_impl(v, smooth))(duv)
+        Optionally rematerialized under autodiff (see ``_remat_demons``):
+        the chain's intermediate grids are recomputed in the backward pass
+        instead of stored — without this, large 3D volume episodes exceed
+        HBM."""
+        if self._remat_demons():
+            return jax.checkpoint(
+                lambda v: self._demons_compose_impl(v, smooth))(duv)
+        return self._demons_compose_impl(duv, smooth)
 
     def _demons_compose_impl(self, duv, smooth: bool = True):
         grid = base_grid(duv.shape[0], self.image_spatial, dtype=duv.dtype)

@@ -325,3 +325,39 @@ def test_grad_flows_through_geometric_chain():
     ga, gm = jax.grad(loss, argnums=(0, 1))(pa, pm)
     assert np.isfinite(np.asarray(ga)).all() and np.abs(ga).sum() > 0
     assert np.isfinite(np.asarray(gm)).all() and np.abs(gm).sum() > 0
+
+
+def test_morph_remat_policy_and_equivalence():
+    """'auto' keeps small workloads resident (no backward recompute) and
+    remats only HBM-threatening ones; gradients are identical either way."""
+    import jax
+    from advchain_tpu.augmentor.morph import AdvMorph
+
+    small = AdvMorph(config_dict={"epsilon": 1.5, "data_size": [4, 1, 32, 32],
+                                  "vector_size": [4, 4]})
+    assert small._remat_demons() is False
+    big = AdvMorph(spatial_dims=3, config_dict={
+        "epsilon": 1.5, "data_size": [2, 1, 96, 192, 192],
+        "vector_size": [8, 12, 12]})
+    assert big._remat_demons() is True
+    forced = AdvMorph(config_dict={"epsilon": 1.5,
+                                   "data_size": [4, 1, 32, 32],
+                                   "vector_size": [4, 4]}, remat="on")
+    assert forced._remat_demons() is True
+
+    x = jnp.asarray(np.random.RandomState(0).rand(4, 1, 32, 32),
+                    jnp.float32)
+    k = jax.random.PRNGKey(3)
+    p = small.init_params(k)
+
+    def loss(t, params):
+        return jnp.sum(t.apply(params, x) ** 2)
+
+    g_res = np.asarray(jax.grad(lambda q: loss(small, q))(p))
+    g_rem = np.asarray(jax.grad(lambda q: loss(forced, q))(p))
+    # remat re-derives the chain in backward; XLA fuses the two programs
+    # differently and ulp shifts amplify through 8 nested samplers —
+    # agreement is at trace-numerics level, not bitwise
+    rel_l2 = np.linalg.norm(g_rem - g_res) / np.linalg.norm(g_res)
+    assert rel_l2 < 1e-3, rel_l2
+    np.testing.assert_allclose(g_rem, g_res, rtol=2e-2, atol=1e-4)
