@@ -34,7 +34,7 @@ those workloads (SURVEY.md section 5.3).
 
 from __future__ import annotations
 
-from typing import Any, Callable, NamedTuple, Optional, Sequence
+from typing import Any, Callable, NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -130,7 +130,6 @@ def make_adversarial_train_step(
     solver._apply_power_iteration_setting(power_iteration)
     flags = tuple(solver._normalize_flags(optimize_flags, n_iter))
     steps = tuple(solver._normalize_step_sizes(step_sizes))
-    has_geo = solver.if_contains_geo_transform()
     if supervised_loss_fn is None:
         supervised_loss_fn = cross_entropy
 
