@@ -8,7 +8,7 @@ UNet_16 checkpoint, i.e. one full ``adversarial_training`` call.
 
 ``python bench.py --full`` additionally measures configs #1 (random-chain
 augmentation throughput), #3 (anatomy-constrained solve), #4 (3D volumes),
-and #5 (fused adversarial train step, batch 64) and writes one JSON line
+and #5 (fused adversarial train step, batch 128) and writes one JSON line
 per config to BENCH_full.json.
 
 Timing methodology:
@@ -293,7 +293,7 @@ def bench_3d(batch=2, shape3d=(12, 192, 192)):
 
 
 # ------------------------------------------------------------- config #5
-def bench_fused_train_step(batch=64):
+def bench_fused_train_step(batch=128):
     """Full adversarial TRAINING step (PGD inner loop + supervised +
     consistency losses + grads + adam update) fused as one program."""
     jax = _setup_jax()
@@ -428,7 +428,7 @@ def main():
                   "value": round(v4, 3), "unit": "volumes/sec/chip",
                   "vs_baseline": None})
     v5 = bench_fused_train_step()
-    lines.append({"metric": "fused_adv_train_step_images_per_sec_b64",
+    lines.append({"metric": "fused_adv_train_step_images_per_sec_b128",
                   "value": round(v5, 2), "unit": "images/sec/chip",
                   "vs_baseline": None})
     with open("/root/repo/BENCH_full.json", "w") as f:
