@@ -54,6 +54,19 @@ REPS = 7
 # Re-measure with ADVCHAIN_BENCH_MEASURE_TORCH=1.
 RECORDED_TORCH_CPU_IMGS_PER_SEC = 0.996
 
+# torch-CPU reference numbers for the remaining BASELINE.md configs,
+# measured 2026-08-19 via ``python bench.py --measure-torch`` (same
+# favorable-to-reference protocol: per-rep MAX throughput / MIN latency).
+# Config #3 is per-solve at batch 1 — the reference's "lowest" padding
+# crashes for batch > 1 (adv_affine.py:301-302: the (N,1) per-sample min
+# only broadcasts against (H,W) at N=1; the prostate notebook runs batch 1)
+# — while the TPU number is batch 4, so the honest per-image comparison
+# divides ours by 4.  Config #5 (fused train step) has no reference
+# analogue: the reference ships no training loop (SURVEY.md §4).
+RECORDED_TORCH_RANDOM_CHAIN_IMGS_PER_SEC = 15.137
+RECORDED_TORCH_CONSTRAINED_SOLVE_SECONDS = 3.75  # batch 1, 3-step
+RECORDED_TORCH_3D_VOLUMES_PER_SEC = 0.0347
+
 CKPT = "/root/reference/example/saved_checkpoints/cardiac_seg_unet_16.pth"
 
 
@@ -390,6 +403,171 @@ def bench_torch_reference():
         sys.path.pop(0)
 
 
+def _torch_chain(cfg, padding_mode=None):
+    import torch
+    from advchain.augmentor.adv_affine import AdvAffine
+    from advchain.augmentor.adv_bias import AdvBias
+    from advchain.augmentor.adv_morph import AdvMorph
+    from advchain.augmentor.adv_noise import AdvNoise
+    dev = torch.device("cpu")
+    kw = {"use_gpu": False, "device": dev}
+    geo_kw = dict(kw)
+    if padding_mode is not None:
+        geo_kw["image_padding_mode"] = padding_mode
+    return [
+        AdvNoise(config_dict=cfg["noise"], **kw),
+        AdvBias(config_dict=cfg["bias"], **kw),
+        AdvAffine(config_dict=cfg["affine"], **geo_kw),
+        AdvMorph(config_dict=cfg["morph"], **geo_kw),
+    ]
+
+
+def bench_torch_random_chain(batch=4):
+    """Reference random-init chain apply (config #1 workload; per-rep MAX
+    img/s — most favorable to the reference)."""
+    _import_torch_reference()
+    try:
+        import torch
+        torch.set_num_threads(os.cpu_count() or 8)
+        from advchain.augmentor.adv_compose_solver import \
+            ComposeAdversarialTransformSolver
+        solver = ComposeAdversarialTransformSolver(
+            chain_of_transforms=_torch_chain(chain_configs(batch, SHAPE)),
+            divergence_types=["mse"], divergence_weights=[1.0],
+            use_gpu=False)
+        data = torch.from_numpy(make_image(batch, SHAPE))
+
+        def once():
+            solver.init_random_transformation()
+            solver.forward(data.clone())
+
+        once()
+        best = 0.0
+        for _ in range(3):
+            t0 = time.perf_counter()
+            once()
+            best = max(best, batch / (time.perf_counter() - t0))
+        return best
+    finally:
+        sys.path.pop(0)
+
+
+def bench_torch_constrained(batch=1, n_iter=3):
+    """Reference anatomy-preserving constrained solve (config #3 workload,
+    'lowest' padding).  Returns MIN s/solve of 3 (favorable to the
+    reference).  batch=1: the reference's 'lowest' padding crashes for
+    batch > 1 (adv_affine.py:301-302 — the per-sample min is (N, 1) and
+    broadcasts against (H, W); the prostate notebook runs batch 1), so the
+    reference baseline is per-solve at its only working batch."""
+    _import_torch_reference()
+    try:
+        import torch
+        torch.set_num_threads(os.cpu_count() or 8)
+        from advchain.augmentor.adv_compose_solver import \
+            ComposeAdversarialTransformSolver
+        from advchain.models.unet import UNet
+        solver = ComposeAdversarialTransformSolver(
+            chain_of_transforms=_torch_chain(chain_configs(batch, SHAPE),
+                                             padding_mode="lowest"),
+            divergence_types=["mse", "contour"],
+            divergence_weights=[1.0, 0.5], use_gpu=False)
+        model = UNet(input_channel=1, num_classes=4, feature_scale=4)
+        model.load_state_dict(torch.load(CKPT, map_location="cpu"))
+        data = torch.from_numpy(make_image(batch, SHAPE))
+        ii, jj = np.meshgrid(np.arange(SHAPE[0]), np.arange(SHAPE[1]),
+                             indexing="ij")
+        m = ((((ii - 96) / 40.0) ** 2 + ((jj - 96) / 34.0) ** 2) < 1.0)
+        anatomy = torch.from_numpy(
+            np.broadcast_to(m, (batch, 1) + SHAPE).astype(np.float32).copy())
+
+        def solve():
+            solver.adversarial_training(
+                data=data, model=model, n_iter=n_iter,
+                anatomy_mask_images=anatomy, anatomy_reg_weight=50,
+                volume_preserve_tolerance=5e-4, step_sizes=1.0)
+
+        solve()
+        times = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            solve()
+            times.append(time.perf_counter() - t0)
+        return min(times)
+    finally:
+        sys.path.pop(0)
+
+
+def bench_torch_3d(batch=2, shape3d=(12, 192, 192)):
+    """Reference 3D beta episode (config #4 workload) with the notebook's
+    pseudo Conv3d model (cardiac notebook cell 26).  Per-rep MAX vol/s of
+    2 reps (favorable to the reference; CPU 3D episodes are slow)."""
+    _import_torch_reference()
+    try:
+        import torch
+        torch.set_num_threads(os.cpu_count() or 8)
+        from advchain.augmentor.adv_affine import AdvAffine
+        from advchain.augmentor.adv_bias import AdvBias
+        from advchain.augmentor.adv_morph import AdvMorph
+        from advchain.augmentor.adv_noise import AdvNoise
+        from advchain.augmentor.adv_compose_solver import \
+            ComposeAdversarialTransformSolver
+        from advchain.common.layers import Fixable3DDropout
+
+        size = [batch, 1, *shape3d]
+        dev = torch.device("cpu")
+        kw = {"use_gpu": False, "device": dev}
+        chain = [
+            AdvNoise(spatial_dims=3,
+                     config_dict={"epsilon": 1.0, "xi": 1e-6,
+                                  "data_size": size}, **kw),
+            AdvBias(spatial_dims=3,
+                    config_dict={"epsilon": 0.3,
+                                 "control_point_spacing":
+                                     [max(s // 2, 2) for s in shape3d],
+                                 "downscale": 4, "data_size": size,
+                                 "interpolation_order": 3,
+                                 "init_mode": "random", "space": "log"},
+                    **kw),
+            AdvAffine(spatial_dims=3,
+                      config_dict={"rot_x": 10.0 / 180, "rot_y": 10.0 / 180,
+                                   "rot_z": 10.0 / 180, "scale_x": 0.1,
+                                   "scale_y": 0.1, "scale_z": 0.1,
+                                   "shift_x": 0.1, "shift_y": 0.1,
+                                   "shift_z": 0.1, "data_size": size}, **kw),
+            AdvMorph(spatial_dims=3,
+                     config_dict={"epsilon": 1.5, "data_size": size,
+                                  "vector_size":
+                                      [max(shape3d[0] // 2, 2),
+                                       shape3d[1] // 16,
+                                       shape3d[2] // 16]}, **kw),
+        ]
+        solver = ComposeAdversarialTransformSolver(
+            chain_of_transforms=chain, divergence_types=["mse"],
+            divergence_weights=[1.0], use_gpu=False)
+        model = torch.nn.Sequential(
+            torch.nn.Conv3d(1, 8, 3, padding=1),
+            torch.nn.BatchNorm3d(8),
+            torch.nn.ReLU(),
+            Fixable3DDropout(p=0.1),
+            torch.nn.Conv3d(8, 4, 3, padding=1),
+        )
+        data = torch.from_numpy(make_volume(batch, shape3d))
+
+        def once():
+            solver.adversarial_training(data=data, model=model,
+                                        n_iter=N_ITER, step_sizes=1.0)
+
+        once()
+        best = 0.0
+        for _ in range(2):
+            t0 = time.perf_counter()
+            once()
+            best = max(best, batch / (time.perf_counter() - t0))
+        return best
+    finally:
+        sys.path.pop(0)
+
+
 def _headline_json():
     imgs_per_sec = bench_headline()
     baseline = RECORDED_TORCH_CPU_IMGS_PER_SEC
@@ -410,6 +588,16 @@ def _headline_json():
 
 
 def main():
+    if "--measure-torch" in sys.argv:
+        # one-time torch-CPU reference measurements (recorded as constants;
+        # see the docstring for methodology)
+        print(json.dumps({"torch_random_chain_imgs_per_sec":
+                          round(bench_torch_random_chain(), 3)}))
+        print(json.dumps({"torch_constrained_solve_seconds":
+                          round(bench_torch_constrained(), 2)}))
+        print(json.dumps({"torch_3d_volumes_per_sec":
+                          round(bench_torch_3d(), 4)}))
+        return
     headline = _headline_json()
     print(json.dumps(headline))
     if "--full" not in sys.argv:
@@ -418,16 +606,25 @@ def main():
     v1 = bench_random_chain()
     lines.append({"metric": "random_chain_images_per_sec_192px_4tf",
                   "value": round(v1, 2), "unit": "images/sec/chip",
-                  "vs_baseline": None})
+                  "vs_baseline":
+                      round(v1 / RECORDED_TORCH_RANDOM_CHAIN_IMGS_PER_SEC,
+                            2)})
     t3, sr3 = bench_constrained_solve()
+    # reference solves 1 image in RECORDED..._SECONDS; we solve 4 per call —
+    # compare per-image solve latency
     lines.append({"metric": "anatomy_constrained_solve_seconds",
                   "value": round(t3, 3), "unit": "s/solve (batch 4, 3-step)",
-                  "vs_baseline": None, "success_rate": sr3})
+                  "vs_baseline":
+                      round(RECORDED_TORCH_CONSTRAINED_SOLVE_SECONDS
+                            / (t3 / 4), 2),
+                  "success_rate": sr3})
     v4 = bench_3d()
     lines.append({"metric": "adv_chain_3d_volumes_per_sec_12x192x192",
                   "value": round(v4, 3), "unit": "volumes/sec/chip",
-                  "vs_baseline": None})
+                  "vs_baseline":
+                      round(v4 / RECORDED_TORCH_3D_VOLUMES_PER_SEC, 2)})
     v5 = bench_fused_train_step()
+    # no reference analogue: the reference ships no training loop
     lines.append({"metric": "fused_adv_train_step_images_per_sec_b128",
                   "value": round(v5, 2), "unit": "images/sec/chip",
                   "vs_baseline": None})
