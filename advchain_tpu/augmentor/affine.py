@@ -35,27 +35,32 @@ def hardtanh(x):
     return jnp.clip(x, -1.0, 1.0)
 
 
-def sample_with_padding(data, grid, interp: str, padding_mode):
+def sample_with_padding(data, grid, interp: str, padding_mode,
+                        tile_order: str = "rows"):
     """grid_sample with the reference's extended padding modes.
 
     ``padding_mode``: 'zeros' | 'border' | 'reflection' | 'lowest' | float.
     'lowest' shifts each sample so its min is 0, samples with zeros padding,
     then shifts back (reference adv_affine.py:299-310, adv_morph.py:542-554).
+    ``tile_order`` is the 2D Pallas perf hint: affine warps pass 'blocks'
+    (rotations degenerate row-major tile bands); morph keeps 'rows'.
     """
     if padding_mode == "lowest":
         n = data.shape[0]
         mins = jnp.min(data.reshape(n, -1), axis=1)
         mins = jax.lax.stop_gradient(mins).reshape((n,) + (1,) * (data.ndim - 1))
         out = grid_sample(data - mins, grid, mode=interp,
-                          padding_mode="zeros", align_corners=True)
+                          padding_mode="zeros", align_corners=True,
+                          tile_order=tile_order)
         return out + mins
     if isinstance(padding_mode, (int, float)) and not isinstance(padding_mode, bool):
         pv = jnp.asarray(padding_mode, data.dtype)
         out = grid_sample(data - pv, grid, mode=interp,
-                          padding_mode="zeros", align_corners=True)
+                          padding_mode="zeros", align_corners=True,
+                          tile_order=tile_order)
         return out + pv
     return grid_sample(data, grid, mode=interp, padding_mode=padding_mode,
-                       align_corners=True)
+                       align_corners=True, tile_order=tile_order)
 
 
 class AdvAffine(AdvTransformBase):
@@ -189,7 +194,8 @@ class AdvAffine(AdvTransformBase):
         grid = affine_grid(affine_matrix, data.shape, align_corners=True)
         # ctor padding mode always wins (reference effective behavior,
         # adv_affine.py:293-294)
-        return sample_with_padding(data, grid, interp, self.image_padding_mode)
+        return sample_with_padding(data, grid, interp, self.image_padding_mode,
+                                   tile_order="blocks")
 
     def apply(self, params, data, training: bool = False, interp=None,
               padding_mode=None):

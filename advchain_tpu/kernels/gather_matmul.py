@@ -52,13 +52,23 @@ _CH = 512
 def _dot_f32(vals, oh, dims):
     """MXU matmuls round f32 inputs to bf16 (~1e-3 relative error —
     measured on v5e; torch-parity demands <1e-4).  The one-hot side is
-    exactly representable (0/1), so splitting the VALUE side into two
-    bf16 terms (hi + residual) recovers ~1e-5 accuracy at 2 MXU passes:
-    each pass's nonzero products are exact bf16*1 selections."""
+    exactly representable (0/1), so splitting the VALUE side into THREE
+    bf16 terms (hi + mid + residual, ~8 mantissa bits each) makes the
+    selection f32-EXACT: each pass's nonzero products are exact bf16*1
+    selections and hi+mid+lo reconstructs the f32 value to <=2^-24
+    relative.  Exactness matters beyond aesthetics: morph's
+    scaling-and-squaring self-composes the sampled flow 8 times, doubling
+    any per-warp rounding each step (~256x) — the earlier TWO-term split
+    (~1e-5 per warp) produced ~4e-3 adv_data deviations vs the exact-gather
+    XLA path at episode level."""
     hi = vals.astype(jnp.bfloat16).astype(jnp.float32)
-    lo = vals - hi
+    r1 = vals - hi
+    mid = r1.astype(jnp.bfloat16).astype(jnp.float32)
+    lo = r1 - mid
     return (jax.lax.dot_general(hi, oh, dims,
                                 preferred_element_type=jnp.float32)
+            + jax.lax.dot_general(mid, oh, dims,
+                                  preferred_element_type=jnp.float32)
             + jax.lax.dot_general(lo, oh, dims,
                                   preferred_element_type=jnp.float32))
 
@@ -668,11 +678,46 @@ def _channel_groups(k: int, c: int, s: int):
     return [(i, min(size, c - i)) for i in range(0, c, size)]
 
 
-@functools.partial(jax.jit, static_argnames=("padding_mode", "align_corners"))
+# blocked output-tile patch (PH x PW = _PT): keeps each kernel tile's source
+# band narrow for ROTATING warps, where row-major tiles are pathological (a
+# rotation theta spreads one 512-px row-major tile over ~sin(theta)*W source
+# rows -> a near-full chunk sweep; a 16x32 patch spreads only
+# ~sin(theta)*32 + cos(theta)*16 rows).  Row-major stays optimal for the
+# near-identity warps (morph flows), so the order is a per-call-site hint.
+_BPH, _BPW = 16, 32
+assert _BPH * _BPW == _PT
+
+
+def _blockify_2d(t, ho: int, wo: int):
+    """(N, Ho, Wo, ...) -> (N, P, ...) in (patch-row, patch-col, in-patch)
+    order."""
+    lead, trail = t.shape[:1], t.shape[3:]
+    t = t.reshape(lead + (ho // _BPH, _BPH, wo // _BPW, _BPW) + trail)
+    t = jnp.swapaxes(t, 2, 3)
+    return t.reshape(lead + (ho * wo,) + trail)
+
+
+def _deblockify_2d(out, ho: int, wo: int):
+    """(N, C, P) in blocked order -> (N, C, Ho, Wo)."""
+    n, c = out.shape[:2]
+    out = out.reshape(n, c, ho // _BPH, wo // _BPW, _BPH, _BPW)
+    out = jnp.swapaxes(out, 3, 4)
+    return out.reshape(n, c, ho, wo)
+
+
+@functools.partial(jax.jit, static_argnames=("padding_mode", "align_corners",
+                                             "tile_order"))
 def grid_sample_2d_pallas(x, grid, padding_mode: str = "zeros",
-                          align_corners: bool = True):
+                          align_corners: bool = True,
+                          tile_order: str = "rows"):
     """Drop-in bilinear 2D grid sample (torch semantics) on the Pallas
-    gather-matmul path.  x: (N, C, H, W); grid: (N, Ho, Wo, 2)."""
+    gather-matmul path.  x: (N, C, H, W); grid: (N, Ho, Wo, 2).
+
+    ``tile_order``: 'rows' (default; optimal for near-identity warps) or
+    'blocks' (16x32 output patches per kernel tile; use for warps with
+    large rotation/shear where a row-major tile's source band degenerates
+    to a full-image sweep).  Falls back to 'rows' when the output shape
+    doesn't tile into 16x32 patches."""
     from advchain_tpu.ops.grid_sample import _prep_coord
 
     groups = _channel_groups(4, x.shape[1], x.shape[2] * x.shape[3])
@@ -682,8 +727,14 @@ def grid_sample_2d_pallas(x, grid, padding_mode: str = "zeros",
     n, c, h, w = x.shape
     _, ho, wo, two = grid.shape
     assert two == 2
-    gx = grid[..., 0].reshape(n, ho * wo)
-    gy = grid[..., 1].reshape(n, ho * wo)
+    blocked = (tile_order == "blocks" and ho % _BPH == 0 and wo % _BPW == 0)
+    if blocked:
+        grid = _blockify_2d(grid, ho, wo)
+        gx = grid[..., 0]
+        gy = grid[..., 1]
+    else:
+        gx = grid[..., 0].reshape(n, ho * wo)
+        gy = grid[..., 1].reshape(n, ho * wo)
     ix = _prep_coord(gx, w, align_corners, padding_mode)
     iy = _prep_coord(gy, h, align_corners, padding_mode)
     x0 = jnp.floor(ix)
@@ -727,12 +778,46 @@ def grid_sample_2d_pallas(x, grid, padding_mode: str = "zeros",
                                      (0, 1, w, w + 1), h * w)
              for i, sz in groups]
     out = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=1)
+    if blocked:
+        return _deblockify_2d(out, ho, wo).astype(x.dtype)
     return out.reshape(n, c, ho, wo).astype(x.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("padding_mode", "align_corners"))
+# 3D blocked output-tile patch (1 z-plane x _BPY3 x _BPX3 = _PT points).
+# Same rationale as the 2D _BPH x _BPW patch: a rotated 3D affine spreads a
+# row-major 512-pt tile over ~sin(th)*W source rows (and several z planes),
+# degenerating the plane kernel's band windows (measured: 44 -> 258 ms fwd
+# at 10 deg, c=1, 12x192x192).  A (1, 8, 64) patch keeps the in-plane band
+# at ~(8 + sin(th)*64) rows and never straddles output z planes.
+_BPZ3, _BPY3, _BPX3 = 1, 8, 64
+assert _BPZ3 * _BPY3 * _BPX3 == _PT
+
+
+def _blockify_3d(t, do: int, ho: int, wo: int):
+    """(N, Do, Ho, Wo, ...) -> (N, P, ...) in (patch, in-patch) order."""
+    lead, trail = t.shape[:1], t.shape[4:]
+    nt = len(trail)
+    t = t.reshape(lead + (do // _BPZ3, _BPZ3, ho // _BPY3, _BPY3,
+                          wo // _BPX3, _BPX3) + trail)
+    t = jnp.transpose(t, (0, 1, 3, 5, 2, 4, 6)
+                      + tuple(range(7, 7 + nt)))
+    return t.reshape(lead + (do * ho * wo,) + trail)
+
+
+def _deblockify_3d(out, do: int, ho: int, wo: int):
+    """(N, C, P) in 3D blocked order -> (N, C, Do, Ho, Wo)."""
+    n, c = out.shape[:2]
+    out = out.reshape(n, c, do // _BPZ3, ho // _BPY3, wo // _BPX3,
+                      _BPZ3, _BPY3, _BPX3)
+    out = jnp.transpose(out, (0, 1, 2, 5, 3, 6, 4, 7))
+    return out.reshape(n, c, do, ho, wo)
+
+
+@functools.partial(jax.jit, static_argnames=("padding_mode", "align_corners",
+                                             "tile_order"))
 def grid_sample_3d_pallas(x, grid, padding_mode: str = "zeros",
-                          align_corners: bool = True):
+                          align_corners: bool = True,
+                          tile_order: str = "rows"):
     """Trilinear 3D grid sample (torch semantics) on the Pallas path.
 
     x: (N, C, D, H, W); grid: (N, Do, Ho, Wo, 3), torch channel order
@@ -745,6 +830,11 @@ def grid_sample_3d_pallas(x, grid, padding_mode: str = "zeros",
     degrades to a full sweep).  Multi-channel volumes are split into
     channel groups that fit the VMEM budget; when even a single channel
     exceeds it, the streamed plane_gather keeps the volume in HBM.
+
+    ``tile_order``: 'rows' (default; optimal for near-identity warps) or
+    'blocks' ((1, 8, 64) output patches per kernel tile; use for warps
+    with large rotation/shear).  Falls back to 'rows' when the output
+    shape doesn't tile into patches.
     """
     from advchain_tpu.ops.grid_sample import _prep_coord
 
@@ -758,9 +848,17 @@ def grid_sample_3d_pallas(x, grid, padding_mode: str = "zeros",
         groups = [(0, c)]
 
     p = do * ho * wo
-    gx = grid[..., 0].reshape(n, p)
-    gy = grid[..., 1].reshape(n, p)
-    gz = grid[..., 2].reshape(n, p)
+    blocked = (tile_order == "blocks" and do % _BPZ3 == 0
+               and ho % _BPY3 == 0 and wo % _BPX3 == 0)
+    if blocked:
+        grid = _blockify_3d(grid, do, ho, wo)
+        gx = grid[..., 0]
+        gy = grid[..., 1]
+        gz = grid[..., 2]
+    else:
+        gx = grid[..., 0].reshape(n, p)
+        gy = grid[..., 1].reshape(n, p)
+        gz = grid[..., 2].reshape(n, p)
     ix = _prep_coord(gx, w, align_corners, padding_mode)
     iy = _prep_coord(gy, h, align_corners, padding_mode)
     iz = _prep_coord(gz, d, align_corners, padding_mode)
@@ -811,4 +909,6 @@ def grid_sample_3d_pallas(x, grid, padding_mode: str = "zeros",
             out = part if out is None else out + part
         chunks.append(out)
     out = chunks[0] if len(chunks) == 1 else jnp.concatenate(chunks, axis=1)
+    if blocked:
+        return _deblockify_3d(out, do, ho, wo).astype(x.dtype)
     return out.reshape(n, c, do, ho, wo).astype(x.dtype)

@@ -124,12 +124,16 @@ def _use_pallas() -> bool:
 
 
 def grid_sample_2d(x, grid, mode: str = "bilinear", padding_mode: str = "zeros",
-                   align_corners: bool = True):
+                   align_corners: bool = True, tile_order: str = "rows"):
     """Sample ``x`` (N, C, H, W) at ``grid`` (N, Ho, Wo, 2); grid[..., 0]=x (W axis).
 
     Matches ``torch.nn.functional.grid_sample`` bit-for-bit up to float32
     rounding (<1e-6 in tests).  Impl dispatch (pallas vs XLA) happens here,
     outside the jitted impls, so the jit caches never alias across impls.
+
+    ``tile_order`` is a Pallas-path perf hint ('rows' | 'blocks'): pass
+    'blocks' for warps with large rotation/shear (affine) where a row-major
+    output tile's source band degenerates; ignored by the XLA impl.
     """
     n, c, h, w = x.shape
     _, ho, wo, two = grid.shape
@@ -137,7 +141,8 @@ def grid_sample_2d(x, grid, mode: str = "bilinear", padding_mode: str = "zeros",
     if mode == "bilinear" and _use_pallas():
         from advchain_tpu.kernels.gather_matmul import grid_sample_2d_pallas
         return grid_sample_2d_pallas(x, grid, padding_mode=padding_mode,
-                                     align_corners=align_corners)
+                                     align_corners=align_corners,
+                                     tile_order=tile_order)
     return _grid_sample_2d_xla(x, grid, mode, padding_mode, align_corners)
 
 
@@ -196,11 +201,14 @@ def _grid_sample_2d_xla(x, grid, mode="bilinear", padding_mode="zeros",
 
 
 def grid_sample_3d(x, grid, mode: str = "bilinear", padding_mode: str = "zeros",
-                   align_corners: bool = True):
+                   align_corners: bool = True, tile_order: str = "rows"):
     """Sample ``x`` (N, C, D, H, W) at ``grid`` (N, Do, Ho, Wo, 3).
 
     grid[..., 0] indexes W, [..., 1] indexes H, [..., 2] indexes D — the torch
     convention (``mode='bilinear'`` means trilinear for 5-D inputs).
+
+    ``tile_order`` is the Pallas-path perf hint ('rows' | 'blocks'): pass
+    'blocks' for warps with large rotation/shear; ignored by the XLA impl.
     """
     n, c, d, h, w = x.shape
     _, do, ho, wo, three = grid.shape
@@ -208,7 +216,8 @@ def grid_sample_3d(x, grid, mode: str = "bilinear", padding_mode: str = "zeros",
     if mode == "bilinear" and _use_pallas():
         from advchain_tpu.kernels.gather_matmul import grid_sample_3d_pallas
         return grid_sample_3d_pallas(x, grid, padding_mode=padding_mode,
-                                     align_corners=align_corners)
+                                     align_corners=align_corners,
+                                     tile_order=tile_order)
     return _grid_sample_3d_xla(x, grid, mode, padding_mode, align_corners)
 
 
@@ -268,10 +277,15 @@ def _grid_sample_3d_xla(x, grid, mode="bilinear", padding_mode="zeros",
 
 
 def grid_sample(x, grid, mode: str = "bilinear", padding_mode: str = "zeros",
-                align_corners: bool = True):
-    """Dispatch on rank: 4-D input -> 2D sampler, 5-D input -> 3D sampler."""
+                align_corners: bool = True, tile_order: str = "rows"):
+    """Dispatch on rank: 4-D input -> 2D sampler, 5-D input -> 3D sampler.
+
+    ``tile_order`` is a Pallas perf hint ('rows' | 'blocks'; see
+    grid_sample_2d / grid_sample_3d)."""
     if x.ndim == 4:
-        return grid_sample_2d(x, grid, mode, padding_mode, align_corners)
+        return grid_sample_2d(x, grid, mode, padding_mode, align_corners,
+                              tile_order=tile_order)
     if x.ndim == 5:
-        return grid_sample_3d(x, grid, mode, padding_mode, align_corners)
+        return grid_sample_3d(x, grid, mode, padding_mode, align_corners,
+                              tile_order=tile_order)
     raise ValueError(f"grid_sample expects 4-D or 5-D input, got {x.ndim}-D")

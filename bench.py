@@ -30,6 +30,9 @@ Timing methodology:
 * Morph remat policy 'auto' (keep scaling-and-squaring intermediates
   resident below the ~1 GiB HBM bar) lifted the headline 45.5 -> 51.1
   img/s and 3D 0.211 -> 0.247 vol/s (2026-08-19).
+* Blocked (16x32) output-tile ordering for affine warps (rotations
+  degenerate the row-major tile's source band; kernels/gather_matmul.py)
+  lifted the headline 51.1 -> 69.3 img/s (2026-08-19).
 """
 
 import json

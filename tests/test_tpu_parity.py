@@ -40,8 +40,10 @@ def test_corner_gather_f32_exact_on_device(rng):
                                     (0, 1)))
     for k in (0, 1):
         ref = np.take_along_axis(img, idx[:, None, :] + k, axis=2)
-        # hi/lo split: ~1e-5 relative; plain MXU bf16 would be ~2e-3
-        np.testing.assert_allclose(vals[:, k], ref, atol=5e-5)
+        # 3-term bf16 split: gathers are bit-exact f32 selections (a plain
+        # MXU bf16 matmul would be ~2e-3; the old 2-term split ~1e-5 —
+        # which morph's scaling-and-squaring amplified ~256x)
+        np.testing.assert_array_equal(vals[:, k], ref)
 
 
 def test_sampler_2d_matches_xla_on_device(rng):
@@ -53,6 +55,71 @@ def test_sampler_2d_matches_xla_on_device(rng):
     a = grid_sample_2d_pallas(x, grid)
     b = _grid_sample_2d_xla(x, grid)
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+
+
+def test_sampler_2d_blocked_order_matches_rows_on_device(rng):
+    """tile_order='blocks' is a pure perf hint: results must be identical
+    to the row-major order (and to XLA) for a rotated affine grid, the
+    shape it exists for."""
+    from advchain_tpu.kernels import grid_sample_2d_pallas
+    from advchain_tpu.ops.affine import affine_grid
+    from advchain_tpu.ops.grid_sample import _grid_sample_2d_xla
+    x = jnp.asarray(rng.randn(2, 3, 96, 96).astype(np.float32))
+    th = 25.0 * np.pi / 180
+    m = np.tile(np.array([[np.cos(th), -np.sin(th), 0.1],
+                          [np.sin(th), np.cos(th), -0.05]], np.float32),
+                (2, 1, 1))
+    grid = affine_grid(jnp.asarray(m), (2, 3, 96, 96), align_corners=True)
+    rows = grid_sample_2d_pallas(x, grid, tile_order="rows")
+    blocks = grid_sample_2d_pallas(x, grid, tile_order="blocks")
+    xla = _grid_sample_2d_xla(x, grid)
+    np.testing.assert_array_equal(np.asarray(rows), np.asarray(blocks))
+    np.testing.assert_allclose(np.asarray(blocks), np.asarray(xla),
+                               atol=1e-4)
+    gb = jax.grad(lambda a, g: jnp.sum(
+        grid_sample_2d_pallas(a, g, tile_order="blocks") ** 2),
+        argnums=(0, 1))(x, grid)
+    gx = jax.grad(lambda a, g: jnp.sum(_grid_sample_2d_xla(a, g) ** 2),
+                  argnums=(0, 1))(x, grid)
+    np.testing.assert_allclose(np.asarray(gb[0]), np.asarray(gx[0]),
+                               atol=1e-3)
+    # grid grads reach ~1e3; the kernel's hi/lo split is ~1e-5 relative
+    np.testing.assert_allclose(np.asarray(gb[1]), np.asarray(gx[1]),
+                               rtol=1e-4, atol=5e-3)
+
+
+def test_sampler_3d_blocked_order_matches_rows_on_device(rng):
+    """3D tile_order='blocks' is a pure perf hint: identical to row-major
+    (and XLA-close) for a rotated trilinear affine grid."""
+    from advchain_tpu.kernels import grid_sample_3d_pallas
+    from advchain_tpu.ops.affine import affine_grid
+    from advchain_tpu.ops.grid_sample import _grid_sample_3d_xla
+    shape = (2, 2, 8, 64, 64)
+    x = jnp.asarray(rng.randn(*shape).astype(np.float32))
+    th = 15.0 * np.pi / 180
+    cz, sz = np.cos(th), np.sin(th)
+    cy, sy = np.cos(th), np.sin(th)
+    rz = np.array([[cz, -sz, 0], [sz, cz, 0], [0, 0, 1]])
+    ry = np.array([[cy, 0, sy], [0, 1, 0], [-sy, 0, cy]])
+    m = np.concatenate([ry @ rz, [[0.05], [-0.05], [0.02]]], axis=1)
+    m = np.tile(m.astype(np.float32), (2, 1, 1))
+    grid = affine_grid(jnp.asarray(m), shape, align_corners=True)
+    rows = grid_sample_3d_pallas(x, grid, tile_order="rows")
+    blocks = grid_sample_3d_pallas(x, grid, tile_order="blocks")
+    xla = _grid_sample_3d_xla(x, grid)
+    np.testing.assert_array_equal(np.asarray(rows), np.asarray(blocks))
+    np.testing.assert_allclose(np.asarray(blocks), np.asarray(xla),
+                               atol=1e-4)
+    gb = jax.grad(lambda a, g: jnp.sum(
+        grid_sample_3d_pallas(a, g, tile_order="blocks") ** 2),
+        argnums=(0, 1))(x, grid)
+    gx = jax.grad(lambda a, g: jnp.sum(_grid_sample_3d_xla(a, g) ** 2),
+                  argnums=(0, 1))(x, grid)
+    np.testing.assert_allclose(np.asarray(gb[0]), np.asarray(gx[0]),
+                               atol=1e-3)
+    # grid grads are large; allow the kernel's ~1e-5 relative rounding
+    np.testing.assert_allclose(np.asarray(gb[1]), np.asarray(gx[1]),
+                               rtol=1e-4, atol=5e-3)
 
 
 def test_sampler_3d_matches_xla_on_device(rng):
