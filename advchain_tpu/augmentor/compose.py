@@ -86,6 +86,7 @@ class ComposeAdversarialTransformSolver:
         # alias a stale executable); the LRU bound keeps both dicts small
         self._cache_pins = {}
         self._episode_counter = 0
+        self._warned_hook_cache = False
 
     _STEP_CACHE_MAX = 32
 
@@ -131,22 +132,21 @@ class ComposeAdversarialTransformSolver:
         if anatomy_mask_images is None:
             # FAST PATH: the whole episode (reference fwd, random init or
             # warm start, PGD loop, projection, final loss) is one cached
-            # device program -> a single dispatch.
+            # device program -> a single dispatch.  Reference lazy
+            # semantics: init ONLY missing params, keep caller-provided
+            # ones — the per-transform presence mask is static (part of
+            # the program key) and the missing inits ride the episode
+            # program itself (no extra eager dispatches).
             if lazy_load:
-                # reference lazy semantics: init ONLY missing params, keep
-                # caller-provided ones (then warm-start the episode)
-                missing = [t for t in self.chain_of_transforms
-                           if t.param is None]
-                for t in missing:
-                    t.init_parameters()
-                warm = True
+                present = tuple(t.param is not None
+                                for t in self.chain_of_transforms)
             else:
-                warm = False
+                present = (False,) * len(self.chain_of_transforms)
             fn = self._get_episode_fn(model, optimize_flags, step_sizes,
-                                      n_iter, warm, data.shape)
+                                      n_iter, present, data.shape)
             seed = self._next_episode_seed()
-            params_in = (tuple(t.param for t in self.chain_of_transforms)
-                         if warm else None)
+            params_in = tuple(t.param if pr else None for t, pr in
+                              zip(self.chain_of_transforms, present))
             (params, dist, adv_data, adv_output, warped_back_adv_output,
              init_output, inner_dists, pseudo_label) = fn(
                 seed, data, params_in, init_output,
@@ -312,10 +312,13 @@ class ComposeAdversarialTransformSolver:
         return score
 
     def _get_misoverlap_fn(self, mask_shape):
-        key = ("misoverlap", mask_shape,
-               tuple(type(t).__name__ for t in self.chain_of_transforms))
+        # the jitted closure captures the transform OBJECTS (their configs
+        # shape the traced program), so key on their identities — a chain
+        # reassigned with same-typed but differently-configured transforms
+        # must not reuse a stale program.  The pin keeps the id()s alive.
+        transforms = tuple(self.chain_of_transforms)
+        key = ("misoverlap", mask_shape, tuple(id(t) for t in transforms))
         if self._cache_get(key) is None:
-            transforms = tuple(self.chain_of_transforms)
 
             def misoverlap(params, mask):
                 eval_flags = (False,) * len(transforms)
@@ -327,7 +330,7 @@ class ComposeAdversarialTransformSolver:
                 rec = jnp.where(rec >= 0.5, 1.0, 0.0)
                 return jnp.mean((rec - mask) ** 2)
 
-            self._cache_put(key, jax.jit(misoverlap))
+            self._cache_put(key, jax.jit(misoverlap), pin=transforms)
         return self._cache_get(key)
 
     # ------------------------------------------------- jitted PGD machinery
@@ -521,9 +524,7 @@ class ComposeAdversarialTransformSolver:
         # README.md:287-288): route through it instead of the direct apply.
         # Note: inside a cached episode program the hook's weights are baked
         # as constants (keyed by id(model) via _model_cache_key).
-        overridden = (type(self).get_net_output
-                      is not ComposeAdversarialTransformSolver.get_net_output)
-        if overridden:
+        if self._hook_overridden():
             return self.get_net_output(model, x)
         if variables is not None and hasattr(model, "module"):
             rngs = ({"dropout": dropout_key}
@@ -542,6 +543,16 @@ class ComposeAdversarialTransformSolver:
             return model.apply_fixed(x, model._episode_rng, train=train)
         return self.get_net_output(model, x)
 
+    def _hook_overridden(self) -> bool:
+        """True when the user customized ``get_net_output`` — either by
+        subclassing OR by instance-level reassignment
+        (``solver.get_net_output = fn``, the torch idiom the reference FAQ
+        suggests for multi-branch outputs)."""
+        if "get_net_output" in self.__dict__:
+            return True
+        return (type(self).get_net_output
+                is not ComposeAdversarialTransformSolver.get_net_output)
+
     def _model_cache_key(self, model):
         """Stable identity for the program cache: the Flax module for
         wrappers (weights are traced arguments, so params updates reuse the
@@ -549,8 +560,7 @@ class ComposeAdversarialTransformSolver:
         get_net_output hooks (their weights are baked as constants —
         rebuild the callable and you pay a retrace).  The torch-style mode
         flag is part of the key: train/eval compile different programs."""
-        overridden = (type(self).get_net_output
-                      is not ComposeAdversarialTransformSolver.get_net_output)
+        overridden = self._hook_overridden()
         mode = bool(getattr(model, "training",
                             getattr(model, "use_batch_stats_in_solver",
                                     True)))
@@ -558,6 +568,13 @@ class ComposeAdversarialTransformSolver:
         dtype = None if dtype is None else str(dtype)
         if hasattr(model, "module") and not overridden:
             return ("module", id(model.module), mode, dtype)
+        if overridden and not self._warned_hook_cache:
+            self._warned_hook_cache = True
+            logger.warning(
+                "get_net_output is overridden: cached episode programs bake "
+                "the hook's model weights in as constants (keyed by object "
+                "id).  If you update the model's weights, call "
+                "solver.clear_cache() so new programs see them.")
         return ("callable", id(model), mode, overridden, dtype)
 
     @staticmethod
@@ -565,6 +582,12 @@ class ComposeAdversarialTransformSolver:
         if hasattr(model, "_variables"):
             return model._variables()
         return None
+
+    @staticmethod
+    def _episode_dropout_key(model):
+        """The wrapper's episode-fixed dropout rng, passed as a TRACED
+        argument so cached programs follow begin_episode() redraws."""
+        return getattr(model, "_episode_rng", None)
 
     def _final_loss_math(self, model_fn):
         """Raw final consistency pass (calc_adv_consistency_loss's math):
@@ -610,22 +633,42 @@ class ComposeAdversarialTransformSolver:
                tuple(type(t).__name__ for t in self.chain_of_transforms))
         if self._cache_get(key) is None:
             # reference forces model.train() for the final consistency pass
-            # (adv_compose_solver.py:256-259): batch statistics, fixed dropout
-            raw = self._final_loss_math(
-                lambda x, mv=None: self._model_call(model, x, train=True))
-            self._cache_put(key, jax.jit(raw), pin=model)
-        return self._cache_get(key)
+            # (adv_compose_solver.py:256-259): batch statistics, fixed
+            # dropout.  Model variables and the episode dropout key are
+            # TRACED arguments — the cached executable follows weight
+            # updates between calls (a closure would bake them in).
+            def final_fn(params, data, init_output, model_vars, dropout_key):
+                raw = self._final_loss_math(
+                    lambda x: self._model_call(model, x, dropout_key,
+                                               model_vars, train=True))
+                return raw(params, data, init_output)
+
+            self._cache_put(key, jax.jit(final_fn), pin=model)
+        fn = self._cache_get(key)
+
+        def bound(params, data, init_output):
+            return fn(params, data, init_output,
+                      self._model_variables(model),
+                      self._episode_dropout_key(model))
+
+        return bound
 
     def _get_episode_fn(self, model, optimize_flags, step_sizes, n_iter,
-                        warm: bool, data_shape):
+                        present, data_shape):
         """The ENTIRE adversarial_training common path as ONE cached device
         program: reference forward, random transform init (or warm start),
         the n_iter PGD inner loop, projection, and the final consistency
         pass.  On remote/tunneled TPU runtimes every eager dispatch costs
-        20-90 ms; this brings an episode down to a single dispatch."""
+        20-90 ms; this brings an episode down to a single dispatch.
+
+        ``present``: per-transform bool tuple — True entries warm-start
+        from the caller's params, False entries draw random inits inside
+        the program (reference lazy_load semantics, adv_compose_solver.py
+        :479-500, with zero extra dispatches)."""
+        present = tuple(bool(p) for p in present)
         key = ("episode", self._model_cache_key(model),
                tuple(optimize_flags),
-               tuple(step_sizes), int(n_iter), bool(warm),
+               tuple(step_sizes), int(n_iter), present,
                tuple(data_shape),
                tuple(t.power_iteration for t in self.chain_of_transforms),
                tuple(type(t).__name__ for t in self.chain_of_transforms))
@@ -649,12 +692,11 @@ class ComposeAdversarialTransformSolver:
                     init_output = jax.lax.stop_gradient(model_fn(data))
                 else:
                     init_output = jax.lax.stop_gradient(init_output_in)
-                if warm:
-                    params = tuple(params_in)
-                else:
-                    keys = jax.random.split(k_init, len(transforms))
-                    params = tuple(t.init_params(kk)
-                                   for t, kk in zip(transforms, keys))
+                keys = jax.random.split(k_init, len(transforms))
+                params = tuple(
+                    pi if pr else t.init_params(kk)
+                    for t, pi, pr, kk in zip(transforms, params_in,
+                                             present, keys))
                 params = tuple(t.prepare_train(p) if f else p
                                for t, p, f in zip(transforms, params, flags))
                 dists = []
@@ -724,7 +766,8 @@ class ComposeAdversarialTransformSolver:
         if self._cache_get(key) is None:
             transforms = tuple(self.chain_of_transforms)
 
-            def grads_fn(params, data_, init_output_):
+            def grads_fn(params, data_, init_output_, model_vars,
+                         dropout_key):
                 def dist_fn(opt_params):
                     full = []
                     it = iter(opt_params)
@@ -736,7 +779,12 @@ class ComposeAdversarialTransformSolver:
                                                   train_flags)
                     aug = self._chain_apply_pure(transforms, full, data_,
                                                  train_flags, auxs)
-                    perturbed = self._model_call(model, aug)
+                    # model vars + dropout key are traced arguments: the
+                    # manual-loop recipe (README.md:177-214) trains the
+                    # model BETWEEN calls, so a closure would silently
+                    # return gradients w.r.t. stale weights
+                    perturbed = self._model_call(model, aug, dropout_key,
+                                                 model_vars)
                     if self.if_contains_geo_transform():
                         ones = jnp.ones(
                             init_output_.shape[:1] + (1,)
@@ -763,7 +811,8 @@ class ComposeAdversarialTransformSolver:
             self._cache_put(key, jax.jit(grads_fn), pin=model)
         params = tuple(t.param for t in self.chain_of_transforms)
         dist, gs = self._cache_get(key)(
-            params, jax.lax.stop_gradient(data), init_output)
+            params, jax.lax.stop_gradient(data), init_output,
+            self._model_variables(model), self._episode_dropout_key(model))
         git = iter(gs)
         out = []
         for t, f in zip(self.chain_of_transforms, flags):
@@ -888,10 +937,12 @@ class ComposeAdversarialTransformSolver:
             flags = self._normalize_flags(optimize_flags,
                                           n_iter if n_iter > 0 else 0)
             steps = self._normalize_step_sizes(step_sizes)
+            absent = (False,) * len(self.chain_of_transforms)
             fn = self._get_episode_fn(model, flags, steps, n_iter,
-                                      warm=False, data_shape=data.shape)
+                                      absent, data_shape=data.shape)
             (params, _dist, adv_data, _o, _w, init_out, _d,
-             pseudo_label) = fn(self._next_episode_seed(), data, None,
+             pseudo_label) = fn(self._next_episode_seed(), data,
+                                (None,) * len(self.chain_of_transforms),
                                 init_output, self._model_variables(model))
             for t, p in zip(self.chain_of_transforms, params):
                 t.param = p

@@ -52,8 +52,11 @@ class AdvMorph(AdvTransformBase):
         # stored intermediates are big enough to threaten HBM.  Init-time
         # env default (ADVCHAIN_MORPH_REMAT) — a trace-time read would
         # alias jit caches across settings.
-        self.remat = kw.pop("remat", None) or os.environ.get(
-            "ADVCHAIN_MORPH_REMAT", "auto")
+        self.remat = kw.pop("remat", None)
+        if self.remat is None:
+            self.remat = os.environ.get("ADVCHAIN_MORPH_REMAT", "auto")
+        # explicit falsy values (remat=False) must error, not silently fall
+        # back to the env default
         assert self.remat in ("auto", "on", "off"), self.remat
         super().__init__(spatial_dims=spatial_dims, config_dict=config_dict,
                          power_iteration=power_iteration, debug=debug,

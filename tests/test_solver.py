@@ -315,3 +315,156 @@ def test_optimize_parameters_without_grad_raises_when_unstashed():
     t.init_parameters()
     with pytest.raises(ValueError):
         t.optimize_parameters(step_size=1.0)
+
+
+def test_transform_grads_follow_model_weight_updates():
+    """compute_transform_grads must see CURRENT model weights: the manual
+    training loop (README.md:177-214) trains the model between calls, so a
+    cached program with baked weights silently returns stale gradients."""
+    from advchain_tpu.models import UNet, SegmentationModel
+    size = [2, 1, 32, 32]
+    m = SegmentationModel.create(UNet(num_classes=4, feature_scale=16),
+                                 tuple(size))
+    chain = [AdvNoise(config_dict={"epsilon": 0.3, "xi": 1e-6,
+                                   "data_size": size}, seed=30)]
+    solver = ComposeAdversarialTransformSolver(
+        chain_of_transforms=chain, divergence_types=["mse"],
+        divergence_weights=[1.0])
+    data = make_data()
+    solver.init_random_transformation()
+    d1, (g1,) = solver.compute_transform_grads(data, m)
+    # train the model (scale weights): the SAME cached program must now
+    # compute gradients w.r.t. the new weights
+    m.params = jax.tree_util.tree_map(lambda a: a * 5.0, m.params)
+    n_entries = len(solver._step_cache)
+    d2, (g2,) = solver.compute_transform_grads(data, m)
+    assert len(solver._step_cache) == n_entries, "unexpected retrace"
+    assert not np.allclose(np.asarray(g1), np.asarray(g2)), (
+        "cached grads program used stale baked weights")
+    # cross-check against a fresh trace (fresh solver, same state)
+    solver2 = ComposeAdversarialTransformSolver(
+        chain_of_transforms=chain, divergence_types=["mse"],
+        divergence_weights=[1.0])
+    d2f, (g2f,) = solver2.compute_transform_grads(data, m)
+    np.testing.assert_allclose(float(d2), float(d2f), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(g2), np.asarray(g2f), atol=1e-6)
+
+
+def test_final_loss_fn_follows_model_weight_updates():
+    """_get_final_loss_fn threads model variables as traced args (same
+    stale-weights hazard as compute_transform_grads)."""
+    from advchain_tpu.models import UNet, SegmentationModel
+    size = [2, 1, 32, 32]
+    m = SegmentationModel.create(UNet(num_classes=4, feature_scale=16),
+                                 tuple(size))
+    chain = [AdvNoise(config_dict={"epsilon": 0.3, "xi": 1e-6,
+                                   "data_size": size}, seed=31)]
+    solver = ComposeAdversarialTransformSolver(
+        chain_of_transforms=chain, divergence_types=["mse"],
+        divergence_weights=[1.0])
+    data = make_data()
+    solver.init_random_transformation()
+    params = tuple(t.param for t in chain)
+    init_output = solver.get_init_output(m, data)
+    fn = solver._get_final_loss_fn(m, data.shape)
+    _, _, out1, _ = fn(params, data, init_output)
+    m.params = jax.tree_util.tree_map(lambda a: a * 5.0, m.params)
+    fn2 = solver._get_final_loss_fn(m, data.shape)
+    _, _, out2, _ = fn2(params, data, init_output)
+    assert not np.allclose(np.asarray(out1), np.asarray(out2)), (
+        "final-loss program used stale baked weights")
+
+
+def test_instance_level_get_net_output_override_detected(caplog):
+    """solver.get_net_output = fn (the torch idiom for multi-branch nets,
+    reference README.md:287-288) must route through the hook, and the
+    stale-cache warning must fire exactly once."""
+    import logging
+    solver = ComposeAdversarialTransformSolver(
+        chain_of_transforms=[AdvNoise(
+            config_dict={"epsilon": 0.3, "xi": 1e-6, "data_size": SIZE},
+            seed=32)],
+        divergence_types=["mse"], divergence_weights=[1.0])
+    model = make_model()
+    calls = {"n": 0}
+
+    def hook(m, x):
+        calls["n"] += 1
+        return m(x) + 7.0
+
+    solver.get_net_output = hook
+    data = make_data()
+    with caplog.at_level(logging.WARNING,
+                         logger="advchain_tpu.augmentor.compose"):
+        d1 = solver.adversarial_training(data=data, model=model, n_iter=1)
+        warn_count = sum("clear_cache" in r.message for r in caplog.records)
+        assert warn_count == 1, caplog.records
+        solver.adversarial_training(data=data, model=model, n_iter=1)
+        warn_count = sum("clear_cache" in r.message for r in caplog.records)
+        assert warn_count == 1, "warning must fire only once"
+    assert calls["n"] > 0, "instance-level hook was bypassed"
+    assert np.isfinite(float(d1))
+    # the hook's +7 shifts predictions: init_output must reflect it
+    direct = model(data)
+    assert np.allclose(np.asarray(solver.init_output),
+                       np.asarray(direct) + 7.0, atol=1e-5)
+
+
+def test_lazy_load_fast_path_is_fully_fused():
+    """The lazy_load fast path must not dispatch eager per-transform inits:
+    missing params are drawn INSIDE the episode program
+    (VERDICT round-2 item 10)."""
+    size = [2, 1, 32, 32]
+    t1 = AdvNoise(config_dict={"epsilon": 0.3, "xi": 1e-6,
+                               "data_size": size}, seed=33)
+    t2 = AdvAffine(config_dict={"rot": 0.1, "scale_x": 0.1, "scale_y": 0.1,
+                                "shift_x": 0.1, "shift_y": 0.1,
+                                "data_size": size}, seed=34)
+    solver = ComposeAdversarialTransformSolver(
+        chain_of_transforms=[t1, t2], divergence_types=["mse"],
+        divergence_weights=[1.0])
+    fixed = jnp.ones(tuple(size)) * 0.01
+    t1.set_parameters(fixed)
+
+    def boom(*a, **k):
+        raise AssertionError("eager init_parameters on the lazy fast path")
+
+    t1.init_parameters = boom
+    t2.init_parameters = boom
+    solver.adversarial_training(data=make_data(), model=make_model(),
+                                n_iter=0, lazy_load=True)
+    np.testing.assert_allclose(np.asarray(t1.param), np.asarray(fixed),
+                               atol=1e-7)
+    assert t2.param is not None and t2.param.shape == (2, 5)
+
+
+def test_misoverlap_program_not_reused_across_chain_swap():
+    """Reassigning chain_of_transforms with same-typed but differently
+    configured transforms must rebuild the misoverlap program (the closure
+    captures the transform objects)."""
+    size = [2, 1, 32, 32]
+
+    def make_chain(vec):
+        return [AdvMorph(config_dict={"epsilon": 1.0, "data_size": size,
+                                      "vector_size": vec}, seed=35)]
+
+    solver = ComposeAdversarialTransformSolver(
+        chain_of_transforms=make_chain([8, 8]), divergence_types=["mse"],
+        divergence_weights=[1.0])
+    solver.init_random_transformation()
+    mask = jnp.ones(tuple(size))
+    fn1 = solver._get_misoverlap_fn(tuple(mask.shape))
+    s1 = float(solver.compute_anatomy_misoverlapping_loss(mask))
+    solver.chain_of_transforms = make_chain([4, 4])
+    solver.init_random_transformation()
+    fn2 = solver._get_misoverlap_fn(tuple(mask.shape))
+    assert fn1 is not fn2, "stale misoverlap program reused"
+    s2 = float(solver.compute_anatomy_misoverlapping_loss(mask))
+    assert np.isfinite(s1) and np.isfinite(s2)
+
+
+def test_morph_remat_false_rejected():
+    """AdvMorph(remat=False) must error, not silently fall back to 'auto'."""
+    with pytest.raises(AssertionError):
+        AdvMorph(config_dict={"epsilon": 1.0, "data_size": SIZE,
+                              "vector_size": [8, 8]}, remat=False)
