@@ -19,11 +19,11 @@ from NCHW at its boundary).  Blocks:
   * init_weights: normal / xavier / kaiming initializers
     (init_weight.py:5-66) as Flax kernel initializers.
 
-Spectral-norm variants (if_SN): the reference wraps convs in torch
-spectral_norm; use flax.linen.SpectralNorm around these blocks' convs when
-needed — exposed via the ``spectral`` flag on DoubleConv-style blocks is
-intentionally NOT replicated per-layer here because no shipped model
-configuration enables it (models/unet.py always passes if_SN=False).
+Spectral-norm variants (if_SN): ``spectral=True`` on DoubleConv / ConvDown
+/ ResConvDown / ResConv / ResBilinearUp / ResConvUp (and UNet itself)
+wraps the same convs the reference wraps in torch spectral_norm
+(unet_parts.py:16-44, 279-365, 367-467) via flax.linen.SpectralNorm; the
+u/v power-iteration estimates live in 'batch_stats'.
 """
 
 from __future__ import annotations
@@ -36,7 +36,8 @@ import jax.numpy as jnp
 import flax.linen as nn
 
 from advchain_tpu.models.norm import TorchBatchNorm
-from advchain_tpu.models.unet import (DoubleConv, kaiming_conv_init,
+from advchain_tpu.models.unet import (DoubleConv, apply_maybe_spectral,
+                                      kaiming_conv_init,
                                       max_pool_2x2,
                                       upsample2x_align_corners,
                                       _pad_or_crop_to)
@@ -60,16 +61,20 @@ kaiming_init = kaiming_conv_init
 
 # ------------------------------------------------------------- conv blocks
 class ConvDown(nn.Module):
-    """Strided conv downsampling + double conv (unet_parts.py:254-277)."""
+    """Strided conv downsampling + double conv (unet_parts.py:254-277).
+    ``spectral`` threads to the double conv (the reference passes if_SN
+    through, :264; the strided down_conv stays bare)."""
     out_ch: int
     dropout: Optional[float] = None
+    spectral: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         in_ch = x.shape[-1]
         x = nn.Conv(in_ch, (3, 3), strides=(2, 2), padding=1,
                     kernel_init=kaiming_conv_init, name="down_conv")(x)
-        x = DoubleConv(self.out_ch, name="conv")(x, train=train)
+        x = DoubleConv(self.out_ch, spectral=self.spectral,
+                       name="conv")(x, train=train)
         if self.dropout is not None:
             x = nn.Dropout(self.dropout, deterministic=not train)(x)
         return x
@@ -77,46 +82,67 @@ class ConvDown(nn.Module):
 
 class _ResBody(nn.Module):
     """conv3 -> BN -> ReLU -> conv3 -> BN (no final act) — the residual
-    branch shared by the res_* blocks."""
+    branch shared by the res_* blocks.  ``spectral`` wraps both convs in
+    spectral norm (the if_SN branches, unet_parts.py:288-298, 331-350)."""
     out_ch: int
+    spectral: bool = False
+
+    def _conv(self, x, name, train):
+        conv = nn.Conv(self.out_ch, (3, 3), padding=1,
+                       kernel_init=kaiming_conv_init, name=name)
+        if self.spectral:
+            return apply_maybe_spectral(self, conv, x, train)
+        return conv(x)
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        x = nn.Conv(self.out_ch, (3, 3), padding=1,
-                    kernel_init=kaiming_conv_init, name="conv1")(x)
+        x = self._conv(x, "conv1", train)
         x = TorchBatchNorm(name="bn1")(x, use_running_average=not train)
         x = nn.relu(x)
-        x = nn.Conv(self.out_ch, (3, 3), padding=1,
-                    kernel_init=kaiming_conv_init, name="conv2")(x)
+        x = self._conv(x, "conv2", train)
         return TorchBatchNorm(name="bn2")(x, use_running_average=not train)
 
 
 class ResConvDown(nn.Module):
-    """maxpool + residual double conv (unet_parts.py:279-321)."""
+    """maxpool + residual double conv (unet_parts.py:279-321).
+
+    Quirk parity: with ``spectral`` the reference wraps only the residual
+    branch's convs — NOT conv_input (unet_parts.py:308-309; contrast
+    res_conv :352, which does wrap it)."""
     out_ch: int
     dropout: Optional[float] = None
+    spectral: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         x = max_pool_2x2(x)
         skip = nn.Conv(self.out_ch, (1, 1),
                        kernel_init=kaiming_conv_init, name="conv_input")(x)
-        out = nn.relu(skip + _ResBody(self.out_ch, name="conv")(x, train))
+        out = nn.relu(skip + _ResBody(self.out_ch, spectral=self.spectral,
+                                      name="conv")(x, train))
         if self.dropout is not None:
             out = nn.Dropout(self.dropout, deterministic=not train)(out)
         return out
 
 
 class ResConv(nn.Module):
-    """Residual double conv (unet_parts.py:323-365)."""
+    """Residual double conv (unet_parts.py:323-365).  With ``spectral``
+    the reference wraps the residual convs AND conv_input
+    (unet_parts.py:351-352)."""
     out_ch: int
     dropout: Optional[float] = None
+    spectral: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        skip = nn.Conv(self.out_ch, (1, 1),
-                       kernel_init=kaiming_conv_init, name="conv_input")(x)
-        out = nn.relu(skip + _ResBody(self.out_ch, name="conv")(x, train))
+        conv_in = nn.Conv(self.out_ch, (1, 1),
+                          kernel_init=kaiming_conv_init, name="conv_input")
+        if self.spectral:
+            skip = apply_maybe_spectral(self, conv_in, x, train)
+        else:
+            skip = conv_in(x)
+        out = nn.relu(skip + _ResBody(self.out_ch, spectral=self.spectral,
+                                      name="conv")(x, train))
         if self.dropout is not None:
             out = nn.Dropout(self.dropout, deterministic=not train)(out)
         return out
@@ -124,9 +150,11 @@ class ResConv(nn.Module):
 
 class ResBilinearUp(nn.Module):
     """bilinear x2 + conv3, concat skip, residual conv
-    (unet_parts.py:367-415)."""
+    (unet_parts.py:367-415).  ``spectral`` wraps only the residual
+    branch's convs (unet_parts.py:379-388; up/conv_input stay bare)."""
     out_ch: int
     dropout: Optional[float] = None
+    spectral: bool = False
 
     @nn.compact
     def __call__(self, x1, x2, train: bool = False):
@@ -137,8 +165,8 @@ class ResBilinearUp(nn.Module):
         combined = jnp.concatenate([up, x2], axis=-1)
         skip = nn.Conv(self.out_ch, (1, 1), kernel_init=kaiming_conv_init,
                        name="conv_input")(combined)
-        out = nn.relu(skip + _ResBody(self.out_ch, name="conv")(combined,
-                                                                train))
+        out = nn.relu(skip + _ResBody(self.out_ch, spectral=self.spectral,
+                                      name="conv")(combined, train))
         if self.dropout is not None:
             out = nn.Dropout(self.dropout, deterministic=not train)(out)
         return out
@@ -146,9 +174,11 @@ class ResBilinearUp(nn.Module):
 
 class ResConvUp(nn.Module):
     """Transposed-conv x2 upsampling, concat skip, residual conv
-    (unet_parts.py:417-467)."""
+    (unet_parts.py:417-467).  ``spectral`` wraps only the residual
+    branch's convs (unet_parts.py:429-438)."""
     out_ch: int
     dropout: Optional[float] = None
+    spectral: bool = False
 
     @nn.compact
     def __call__(self, x1, x2, train: bool = False):
@@ -161,8 +191,8 @@ class ResConvUp(nn.Module):
         combined = jnp.concatenate([up, x2], axis=-1)
         skip = nn.Conv(self.out_ch, (1, 1), kernel_init=kaiming_conv_init,
                        name="conv_input")(combined)
-        out = nn.relu(skip + _ResBody(self.out_ch, name="conv")(combined,
-                                                                train))
+        out = nn.relu(skip + _ResBody(self.out_ch, spectral=self.spectral,
+                                      name="conv")(combined, train))
         if self.dropout is not None:
             out = nn.Dropout(self.dropout, deterministic=not train)(out)
         return out

@@ -98,20 +98,46 @@ def _pad_or_crop_to(skip, target_h, target_w):
     return out[:, :target_h, :target_w, :]
 
 
+def apply_maybe_spectral(module, conv, x, train: bool,
+                         n_steps: int = 1):
+    """Apply ``conv`` to ``x``, optionally under flax.linen.SpectralNorm
+    (the if_SN branches of the reference blocks, unet_parts.py:16-44,
+    279-365: torch spectral_norm = 1 power-iteration per training forward,
+    stored u/v estimates at eval).  The u/v estimates live in
+    'batch_stats'; they update only when that collection is mutable
+    (quirk/DIVERGENCE: torch also power-iterates inside the solver's
+    frozen inner loop — here frozen passes use the stored estimates, the
+    converged behavior)."""
+    sn = nn.SpectralNorm(conv, n_steps=n_steps,
+                         name=conv.name + "_sn")
+    update = train and module.is_mutable_collection("batch_stats")
+    return sn(x, update_stats=update)
+
+
 class DoubleConv(nn.Module):
-    """(3x3 conv -> BN -> ReLU) x2 (unet_parts.py double_conv)."""
+    """(3x3 conv -> BN -> ReLU) x2 (unet_parts.py double_conv).
+
+    ``spectral`` replicates the reference's ``if_SN=True`` branch
+    (unet_parts.py:30-40): both 3x3 convs wrapped in spectral norm."""
     out_ch: int
     use_bias: bool = True
+    spectral: bool = False
+
+    def _conv(self, x, name, train):
+        conv = nn.Conv(self.out_ch, (3, 3), padding=1,
+                       use_bias=self.use_bias,
+                       kernel_init=kaiming_conv_init, name=name)
+        if self.spectral:
+            return apply_maybe_spectral(self, conv, x, train)
+        return conv(x)
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        x = nn.Conv(self.out_ch, (3, 3), padding=1, use_bias=self.use_bias,
-                    kernel_init=kaiming_conv_init, name="conv1")(x)
+        x = self._conv(x, "conv1", train)
         x = TorchBatchNorm(scale_init=bn_scale_init, name="bn1")(
             x, use_running_average=not train)
         x = nn.relu(x)
-        x = nn.Conv(self.out_ch, (3, 3), padding=1, use_bias=self.use_bias,
-                    kernel_init=kaiming_conv_init, name="conv2")(x)
+        x = self._conv(x, "conv2", train)
         x = TorchBatchNorm(scale_init=bn_scale_init, name="bn2")(
             x, use_running_average=not train)
         return nn.relu(x)
@@ -121,11 +147,13 @@ class Down(nn.Module):
     """maxpool 2x2 then double conv (unet_parts.py down)."""
     out_ch: int
     dropout: Optional[float] = None
+    spectral: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         x = max_pool_2x2(x)
-        x = DoubleConv(self.out_ch, name="conv")(x, train=train)
+        x = DoubleConv(self.out_ch, spectral=self.spectral,
+                       name="conv")(x, train=train)
         if self.dropout is not None:
             x = nn.Dropout(self.dropout, deterministic=not train)(x)
         return x
@@ -135,6 +163,7 @@ class Up(nn.Module):
     """bilinear x2 + pad + concat[skip, x] + double conv (unet_parts.py up)."""
     out_ch: int
     dropout: Optional[float] = None
+    spectral: bool = False
 
     @nn.compact
     def __call__(self, x, skip, train: bool = False):
@@ -143,7 +172,8 @@ class Up(nn.Module):
         x = jnp.concatenate([skip, x], axis=-1)
         if self.dropout is not None:
             x = nn.Dropout(self.dropout, deterministic=not train)(x)
-        return DoubleConv(self.out_ch, name="conv")(x, train=train)
+        return DoubleConv(self.out_ch, spectral=self.spectral,
+                          name="conv")(x, train=train)
 
 
 class OutConv(nn.Module):
@@ -182,35 +212,47 @@ class SelfAttn2d(nn.Module):
 
 class UNet(nn.Module):
     """Reference UNet (models/unet.py:39-237).  ``feature_scale=4`` is
-    'UNet_16', ``feature_scale=1`` is 'UNet_64'."""
+    'UNet_16', ``feature_scale=1`` is 'UNet_64'.  ``spectral`` is the
+    reference's ``if_SN`` ctor flag (models/unet.py:40-59): spectral norm
+    on every inc/down/up conv (the outconv head is NOT wrapped there)."""
     input_channel: int = 1
     num_classes: int = 4
     feature_scale: int = 1
     encoder_dropout: Optional[float] = None
     decoder_dropout: Optional[float] = None
     self_attention: bool = False
+    spectral: bool = False
     last_layer_act: Optional[str] = None  # 'softmax' | 'sigmoid' | None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         fs = self.feature_scale
+        sn = self.spectral
         x = jnp.moveaxis(x, 1, -1)  # NCHW -> NHWC
-        x1 = DoubleConv(64 // fs, name="inc")(x, train=train)
+        x1 = DoubleConv(64 // fs, spectral=sn, name="inc")(x, train=train)
         if self.encoder_dropout is not None:
             x1 = nn.Dropout(self.encoder_dropout,
                             deterministic=not train)(x1)
-        x2 = Down(128 // fs, self.encoder_dropout, name="down1")(x1, train)
-        x3 = Down(256 // fs, self.encoder_dropout, name="down2")(x2, train)
-        x4 = Down(512 // fs, self.encoder_dropout, name="down3")(x3, train)
-        x5 = Down(512 // fs, self.encoder_dropout, name="down4")(x4, train)
+        x2 = Down(128 // fs, self.encoder_dropout, spectral=sn,
+                  name="down1")(x1, train)
+        x3 = Down(256 // fs, self.encoder_dropout, spectral=sn,
+                  name="down2")(x2, train)
+        x4 = Down(512 // fs, self.encoder_dropout, spectral=sn,
+                  name="down3")(x3, train)
+        x5 = Down(512 // fs, self.encoder_dropout, spectral=sn,
+                  name="down4")(x4, train)
         self.sow("intermediates", "hidden_feature", x5)
         if self.self_attention:
             x5, _, attn = SelfAttn2d(name="self_atn")(x5)
             self.sow("intermediates", "attention_map", attn)
-        y = Up(256 // fs, self.decoder_dropout, name="up1")(x5, x4, train)
-        y = Up(128 // fs, self.decoder_dropout, name="up2")(y, x3, train)
-        y = Up(64 // fs, self.decoder_dropout, name="up3")(y, x2, train)
-        y = Up(64 // fs, self.decoder_dropout, name="up4")(y, x1, train)
+        y = Up(256 // fs, self.decoder_dropout, spectral=sn,
+               name="up1")(x5, x4, train)
+        y = Up(128 // fs, self.decoder_dropout, spectral=sn,
+               name="up2")(y, x3, train)
+        y = Up(64 // fs, self.decoder_dropout, spectral=sn,
+               name="up3")(y, x2, train)
+        y = Up(64 // fs, self.decoder_dropout, spectral=sn,
+               name="up4")(y, x1, train)
         y = OutConv(self.num_classes, name="outc")(y)
         y = _apply_last_act(y, self.last_layer_act)
         return jnp.moveaxis(y, -1, 1)  # NHWC -> NCHW

@@ -149,3 +149,107 @@ def test_unet_last_layer_act():
         (1, 1, 32, 32))
     y = np.asarray(m.predict(jnp.zeros((1, 1, 32, 32))))
     np.testing.assert_allclose(y.sum(axis=1), 1.0, atol=1e-5)
+
+
+def test_spectral_norm_conv_matches_torch_oracle():
+    """flax.linen.SpectralNorm wiring (the reference if_SN branches,
+    unet_parts.py:16-44) against torch.nn.utils.spectral_norm: both sides
+    converge power iteration (u inits differ, so compare at convergence —
+    sigma -> the true top singular value), then compare eval outputs.
+    torch reshapes the kernel (out, in*k*k), flax ((k*k*in), out) — the
+    transposed matrix has the same singular values."""
+    import torch
+    import flax.linen as fnn
+
+    torch.manual_seed(0)  # torch's u init draws from the global RNG
+    r = np.random.RandomState(0)
+    w = r.randn(6, 4, 3, 3).astype(np.float32)  # torch OIHW
+    # make the top singular value strongly dominant so BOTH power
+    # iterations converge to machine precision from any random u start
+    # (a raw Gaussian's sigma1/sigma2 gap can be small -> flaky test)
+    wm = w.reshape(6, -1)
+    u1, s1, v1 = np.linalg.svd(wm, full_matrices=False)
+    wm = wm + 4.0 * s1[0] * np.outer(u1[:, 0], v1[0])
+    w = wm.reshape(6, 4, 3, 3).astype(np.float32)
+    b = r.randn(6).astype(np.float32)
+    x = r.rand(2, 4, 8, 8).astype(np.float32)
+
+    tconv = torch.nn.Conv2d(4, 6, 3, padding=1)
+    with torch.no_grad():
+        tconv.weight.copy_(torch.from_numpy(w))
+        tconv.bias.copy_(torch.from_numpy(b))
+    tsn = torch.nn.utils.spectral_norm(tconv, n_power_iterations=1)
+    tsn.train()
+    with torch.no_grad():
+        for _ in range(200):  # converge u
+            tsn(torch.from_numpy(x))
+    tsn.eval()
+    with torch.no_grad():
+        y_t = tsn(torch.from_numpy(x)).numpy()
+
+    conv = fnn.Conv(6, (3, 3), padding=1, name="c")
+    sn = fnn.SpectralNorm(conv, n_steps=200)
+    x_nhwc = jnp.asarray(np.transpose(x, (0, 2, 3, 1)))
+    variables = sn.init(jax.random.PRNGKey(0), x_nhwc, update_stats=False)
+    # inject the torch weights (flax kernel layout HWIO); the top-level
+    # SpectralNorm wrapper scopes the conv as 'layer_instance'
+    k_flax = jnp.asarray(np.transpose(w, (2, 3, 1, 0)))
+    params = {"layer_instance": {"kernel": k_flax, "bias": jnp.asarray(b)}}
+    _, upd = sn.apply({"params": params,
+                       "batch_stats": variables["batch_stats"]},
+                      x_nhwc, update_stats=True,
+                      mutable=["batch_stats"])
+    y_j = sn.apply({"params": params, "batch_stats": upd["batch_stats"]},
+                   x_nhwc, update_stats=False)
+    y_j = np.transpose(np.asarray(y_j), (0, 3, 1, 2))
+    # cross-check both against the closed-form sigma (SVD) normalization
+    sigma = np.linalg.svd(w.reshape(6, -1), compute_uv=False)[0]
+    t_exact = torch.nn.Conv2d(4, 6, 3, padding=1)
+    with torch.no_grad():
+        t_exact.weight.copy_(torch.from_numpy(w / sigma))
+        t_exact.bias.copy_(torch.from_numpy(b))
+        y_exact = t_exact(torch.from_numpy(x)).numpy()
+    np.testing.assert_allclose(y_t, y_exact, atol=2e-4)
+    np.testing.assert_allclose(y_j, y_exact, atol=2e-4)
+    np.testing.assert_allclose(y_j, y_t, atol=2e-4)
+
+
+def test_spectral_blocks_run_and_differ():
+    """spectral=True changes the forward output (sigma > 1 for random
+    kernels) and leaves shapes intact for every flagged block."""
+    x = _x(2, 16, 16, 8)
+    lo = _x(2, 8, 8, 16, seed=1)
+    hi = _x(2, 16, 16, 8, seed=2)
+    for plain, spec, args in [
+            (ConvDown(16), ConvDown(16, spectral=True), (x,)),
+            (ResConvDown(16), ResConvDown(16, spectral=True), (x,)),
+            (ResConv(16), ResConv(16, spectral=True), (x,)),
+            (ResBilinearUp(12), ResBilinearUp(12, spectral=True), (lo, hi)),
+            (ResConvUp(12), ResConvUp(12, spectral=True), (lo, hi)),
+    ]:
+        y0 = np.asarray(_init_apply(plain, *args))
+        y1 = np.asarray(_init_apply(spec, *args))
+        assert y0.shape == y1.shape
+        assert np.isfinite(y1).all()
+        assert not np.allclose(y0, y1), type(plain).__name__
+
+
+def test_unet_spectral_flag_solver_compatible():
+    """UNet(spectral=True) must work through the SegmentationModel paths
+    the solver uses: frozen apply (mutable=False) and apply_train
+    (mutable batch_stats, power-iteration updates)."""
+    from advchain_tpu.models import UNet, SegmentationModel
+    size = (2, 1, 32, 32)
+    m = SegmentationModel.create(
+        UNet(num_classes=4, feature_scale=16, spectral=True), size)
+    x = _x(*size, seed=3)
+    y = m(x)  # frozen path: update_stats must stay off (mutable=False)
+    assert y.shape == (2, 4, 32, 32) and np.isfinite(np.asarray(y)).all()
+    logits, new_bs = m.apply_train(m.params, m.batch_stats, x,
+                                   jax.random.PRNGKey(0))
+    assert np.isfinite(np.asarray(logits)).all()
+    # power iteration updated the stored u/sigma estimates
+    flat_old = jax.tree_util.tree_leaves(m.batch_stats)
+    flat_new = jax.tree_util.tree_leaves(new_bs)
+    assert any(not np.allclose(np.asarray(a), np.asarray(b))
+               for a, b in zip(flat_old, flat_new))
