@@ -88,17 +88,16 @@ def _on_tpu_device() -> bool:
 
 
 _FORCE_IMPL = None  # 'xla' | 'pallas' | None; see force_impl()
+_SPATIAL_MESH = None  # a ('data', 'space') Mesh; see spatial_sampling()
 
 
 @contextlib.contextmanager
 def force_impl(impl):
     """Force the sampler implementation ('xla' | 'pallas') while tracing.
 
-    Takes precedence over ADVCHAIN_GRID_SAMPLE_IMPL.  Used by the
-    spatially-sharded train steps: a pallas_call has no SPMD partitioning
-    rule, so programs partitioned over a 'space' mesh axis trace the XLA
-    sampler instead.  The dispatch happens OUTSIDE the per-impl jit caches,
-    so traces under different impls never alias.
+    Takes precedence over ADVCHAIN_GRID_SAMPLE_IMPL.  The dispatch happens
+    OUTSIDE the per-impl jit caches, so traces under different impls never
+    alias.
     """
     global _FORCE_IMPL
     assert impl in ("xla", "pallas", None), impl
@@ -107,6 +106,43 @@ def force_impl(impl):
         yield
     finally:
         _FORCE_IMPL = prev
+
+
+@contextlib.contextmanager
+def spatial_sampling(mesh):
+    """Route grid_sample through the shard_map spatial wrapper while tracing.
+
+    Under a ('data', 'space') mesh a bare pallas_call has no SPMD
+    partitioning rule, so a GSPMD-partitioned program would either fall off
+    the Pallas path or replicate the call.  Inside this context every
+    bilinear grid_sample whose shapes divide the 'space' axis is traced as
+    ``parallel.spatial.sharded_grid_sample`` — an explicit shard_map that
+    all-gathers the source over ICI and runs the Pallas sampler PER SHARD
+    (grid/output stay sharded).  Non-dividing calls fall back to the XLA
+    sampler, which GSPMD partitions natively.  Pass ``mesh=None`` to
+    suppress routing (used inside the wrapper itself to avoid recursion).
+    """
+    global _SPATIAL_MESH
+    prev, _SPATIAL_MESH = _SPATIAL_MESH, mesh
+    try:
+        yield
+    finally:
+        _SPATIAL_MESH = prev
+
+
+def _spatial_route(x, grid):
+    """The active spatial mesh when this call can ride the shard_map
+    wrapper (leading output/source spatial axes divide |space|), else
+    None."""
+    mesh = _SPATIAL_MESH
+    if mesh is None:
+        return None
+    n_space = mesh.shape.get("space", 1)
+    if n_space <= 1:
+        return None
+    if x.shape[2] % n_space or grid.shape[1] % n_space:
+        return None
+    return mesh
 
 
 def _use_pallas() -> bool:
@@ -138,11 +174,25 @@ def grid_sample_2d(x, grid, mode: str = "bilinear", padding_mode: str = "zeros",
     n, c, h, w = x.shape
     _, ho, wo, two = grid.shape
     assert two == 2, f"2D grid last dim must be 2, got {two}"
-    if mode == "bilinear" and _use_pallas():
-        from advchain_tpu.kernels.gather_matmul import grid_sample_2d_pallas
-        return grid_sample_2d_pallas(x, grid, padding_mode=padding_mode,
-                                     align_corners=align_corners,
-                                     tile_order=tile_order)
+    if mode == "bilinear":
+        mesh = _spatial_route(x, grid)
+        if mesh is not None:
+            from advchain_tpu.parallel.spatial import sharded_grid_sample
+            return sharded_grid_sample(x, grid, mesh, mode=mode,
+                                       padding_mode=padding_mode,
+                                       align_corners=align_corners,
+                                       tile_order=tile_order)
+        if _SPATIAL_MESH is not None:
+            # under a space mesh but shapes don't divide: XLA partitions
+            # its own gather; a pallas_call would be replicated
+            return _grid_sample_2d_xla(x, grid, mode, padding_mode,
+                                       align_corners)
+        if _use_pallas():
+            from advchain_tpu.kernels.gather_matmul import \
+                grid_sample_2d_pallas
+            return grid_sample_2d_pallas(x, grid, padding_mode=padding_mode,
+                                         align_corners=align_corners,
+                                         tile_order=tile_order)
     return _grid_sample_2d_xla(x, grid, mode, padding_mode, align_corners)
 
 
@@ -213,11 +263,23 @@ def grid_sample_3d(x, grid, mode: str = "bilinear", padding_mode: str = "zeros",
     n, c, d, h, w = x.shape
     _, do, ho, wo, three = grid.shape
     assert three == 3, f"3D grid last dim must be 3, got {three}"
-    if mode == "bilinear" and _use_pallas():
-        from advchain_tpu.kernels.gather_matmul import grid_sample_3d_pallas
-        return grid_sample_3d_pallas(x, grid, padding_mode=padding_mode,
-                                     align_corners=align_corners,
-                                     tile_order=tile_order)
+    if mode == "bilinear":
+        mesh = _spatial_route(x, grid)
+        if mesh is not None:
+            from advchain_tpu.parallel.spatial import sharded_grid_sample
+            return sharded_grid_sample(x, grid, mesh, mode=mode,
+                                       padding_mode=padding_mode,
+                                       align_corners=align_corners,
+                                       tile_order=tile_order)
+        if _SPATIAL_MESH is not None:
+            return _grid_sample_3d_xla(x, grid, mode, padding_mode,
+                                       align_corners)
+        if _use_pallas():
+            from advchain_tpu.kernels.gather_matmul import \
+                grid_sample_3d_pallas
+            return grid_sample_3d_pallas(x, grid, padding_mode=padding_mode,
+                                         align_corners=align_corners,
+                                         tile_order=tile_order)
     return _grid_sample_3d_xla(x, grid, mode, padding_mode, align_corners)
 
 

@@ -169,10 +169,15 @@ def sharded_gaussian_smooth(x, mesh: Mesh, sigma: float = 1.0,
 
 def sharded_grid_sample(x, grid, mesh: Mesh, mode: str = "bilinear",
                         padding_mode: str = "zeros",
-                        align_corners: bool = True):
+                        align_corners: bool = True,
+                        tile_order: str = "rows"):
     """``ops.grid_sample`` with grid/output sharded on the leading output
     spatial axis and batch on 'data'; the source volume is all-gathered
-    along 'space' (warps are global — see module docstring)."""
+    along 'space' (warps are global — see module docstring).  Each shard
+    runs the regular sampler dispatch locally — on TPU that is the Pallas
+    kernel (``tile_order`` passes through)."""
+    from advchain_tpu.ops.grid_sample import spatial_sampling
+
     ndim = x.ndim - 2
     assert ndim in (2, 3)
     n_space = mesh.shape[_SPACE]
@@ -182,8 +187,10 @@ def sharded_grid_sample(x, grid, mesh: Mesh, mode: str = "bilinear",
 
     def local(xl, gl):
         xf = lax.all_gather(xl, _SPACE, axis=2, tiled=True)
-        return grid_sample(xf, gl, mode=mode, padding_mode=padding_mode,
-                           align_corners=align_corners)
+        with spatial_sampling(None):  # per-shard call: no re-routing
+            return grid_sample(xf, gl, mode=mode, padding_mode=padding_mode,
+                               align_corners=align_corners,
+                               tile_order=tile_order)
 
     vspec = P(_DATA, None, _SPACE)
     gspec = P(_DATA, _SPACE)

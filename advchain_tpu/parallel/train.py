@@ -19,12 +19,12 @@ For 3D volumes that exceed one chip's HBM, pass a 2-D
 ``Mesh(('data', 'space'))`` (see ``parallel.spatial.make_spatial_mesh``):
 the image's leading spatial axis (D for NCDHW, H for NCHW) is additionally
 sharded over ``space`` and the SPMD partitioner inserts the halo exchanges
-for the stencils and gathers for the warps.  The batch must then be a dict
-with exactly ``image``/``label`` (place it with
-``parallel.spatial.shard_batch_spatial``).  Spatially-sharded runs force
-the XLA sampler path — a pallas_call has no SPMD partitioning rule, so the
-kernels would be wasteful under an automatically partitioned program (on a
-1-wide ``space`` axis the kernels stay on).
+for the stencils, and every bilinear warp is traced as an explicit
+shard_map (``parallel.spatial.sharded_grid_sample``: all-gather the source
+over ICI, run the Pallas sampler per shard) — a bare pallas_call has no
+SPMD partitioning rule, and XLA's own TPU gather is the pathology the
+kernels exist to avoid.  The batch must then be a dict with exactly
+``image``/``label`` (place it with ``parallel.spatial.shard_batch_spatial``).
 
 The rare-path behaviors (anatomy-preserving graduated retries, rejection
 sampling) are host-side control flow and intentionally NOT in this fused
@@ -44,7 +44,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from advchain_tpu.losses import cross_entropy
 # note: the ops package re-exports the grid_sample FUNCTION under the same
 # name, which shadows the submodule on attribute-style imports
-from advchain_tpu.ops.grid_sample import force_impl as _force_sampler_impl
+from advchain_tpu.ops.grid_sample import spatial_sampling as _spatial_sampling
 
 __all__ = ["TrainState", "make_adversarial_train_step",
            "make_supervised_train_step"]
@@ -57,8 +57,11 @@ def _mesh_shardings(mesh: Mesh, axis_name: str):
     2-D ('data', 'space') mesh with |space| > 1: the image's leading
     spatial axis (dim 2 of NC*S) and the hard label's (dim 1 of N*S) are
     additionally sharded over 'space' — the batch must then be exactly
-    {'image', 'label'}.  Spatial programs trace the XLA sampler
-    (grid_sample.force_impl): pallas_call has no SPMD partitioning rule.
+    {'image', 'label'}.  Spatial programs trace every bilinear grid_sample
+    through ``parallel.spatial.sharded_grid_sample`` (an explicit
+    shard_map: all-gather the source over ICI, run the Pallas sampler per
+    shard) — a bare pallas_call has no SPMD partitioning rule, and the XLA
+    sampler's gather is the exact pathology the kernels exist to avoid.
     """
     repl = NamedSharding(mesh, P())
     spatial = ("space" in mesh.axis_names
@@ -70,13 +73,13 @@ def _mesh_shardings(mesh: Mesh, axis_name: str):
         "label": NamedSharding(mesh, P(axis_name, "space")),
     }
 
-    def trace_with_xla_sampler(fn):
+    def trace_with_sharded_sampler(fn):
         def wrapper(*args, **kwargs):  # runs at trace time under jit
-            with _force_sampler_impl("xla"):
+            with _spatial_sampling(mesh):
                 return fn(*args, **kwargs)
         return wrapper
 
-    return repl, batch_sh, trace_with_xla_sampler
+    return repl, batch_sh, trace_with_sharded_sampler
 
 
 class TrainState(NamedTuple):
