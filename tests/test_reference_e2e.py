@@ -129,20 +129,20 @@ def cardiac_image():
     return img[np.newaxis, np.newaxis].astype(np.float32)
 
 
-def _shared_params(ref_solver):
+def _shared_params(ref_solver, seed=42):
     """Draw params on the reference side (the source of truth for layout),
     export as numpy for injection into our solver."""
-    torch.manual_seed(42)
+    torch.manual_seed(seed)
     ref_solver.init_random_transformation(lazy_load=False)
     return [t.param.detach().cpu().numpy()
             for t in ref_solver.chain_of_transforms]
 
 
-def _run_reference(img_np, n_iter):
+def _run_reference(img_np, n_iter, seed=42):
     cfg = _chain_configs()
     solver, chain = _build_reference_side(cfg)
     model = _torch_model()
-    params = _shared_params(solver)
+    params = _shared_params(solver, seed)
     solver.set_transformation([torch.from_numpy(p) for p in params])
     data = torch.from_numpy(img_np)
     dist = solver.adversarial_training(
@@ -257,6 +257,25 @@ def test_cardiac_2d_n_iter1_parity(cardiac_image):
     print(f"dist: ref {ref['dist']:.6f} ours {ours['dist']:.6f}")
     rel = abs(ref["dist"] - ours["dist"]) / (abs(ref["dist"]) + 1e-12)
     assert rel < 0.25, (ref["dist"], ours["dist"])
+    # statistical bound over independent inits: the single-seed 0.25 cap
+    # above stays a hard per-seed limit; across seeds the solves must be
+    # equivalent in strength on average (median rel deviation < 0.1).
+    # Measured 2026-08-19 (seeds 42/7/13/99/2024): rel deviations
+    # [0.0032, 0.0248, 0.0369, 0.0525, 0.0490], median 0.0369 — the
+    # morph floor-flip DIVERGENCE (note above), not a systematic bias.
+    rels = [rel]
+    for seed in (7, 13, 99, 2024):
+        params_s, ref_s = _run_reference(cardiac_image, n_iter=1, seed=seed)
+        ours_s = _run_ours(cardiac_image, params_s, n_iter=1)
+        r = (abs(ref_s["dist"] - ours_s["dist"])
+             / (abs(ref_s["dist"]) + 1e-12))
+        print(f"seed {seed}: dist ref {ref_s['dist']:.6f} "
+              f"ours {ours_s['dist']:.6f} rel {r:.4f}")
+        assert r < 0.25, (seed, ref_s["dist"], ours_s["dist"])
+        rels.append(r)
+    med = float(np.median(rels))
+    print(f"dist rel deviations {['%.4f' % r for r in rels]} median {med:.4f}")
+    assert med < 0.1, rels
 
 
 # ------------------------------------------ exact-parity component probes
@@ -437,9 +456,10 @@ def _chain_configs_3d(size):
     }
 
 
-@pytest.mark.slow
-def test_cardiac_3d_n_iter0_parity():
-    """3D chain (noise->bias->morph->affine, trilinear) A/B at n_iter=0."""
+def _run_3d_ab(n_iter):
+    """Build both 3D sides (noise->bias->morph->affine, trilinear), inject
+    identical params, run adversarial_training at ``n_iter`` on a tiny
+    volume; returns (r_solver, o_solver, rdist, odist)."""
     size = (1, 1, 8, 32, 32)
     cfg = _chain_configs_3d(size)
     ref = _import_reference()
@@ -486,13 +506,20 @@ def test_cardiac_3d_n_iter0_parity():
     o_solver.set_transformation([jnp.asarray(p) for p in params])
 
     rdist = r_solver.adversarial_training(
-        data=torch.from_numpy(img), model=_torch_3d_model(), n_iter=0,
+        data=torch.from_numpy(img), model=_torch_3d_model(), n_iter=n_iter,
         lazy_load=[True] * 4, optimize_flags=[True] * 4, step_sizes=1,
         power_iteration=[False] * 4)
     odist = o_solver.adversarial_training(
-        data=jnp.asarray(img), model=_jax_3d_model(), n_iter=0,
+        data=jnp.asarray(img), model=_jax_3d_model(), n_iter=n_iter,
         lazy_load=True, optimize_flags=[True] * 4, step_sizes=1,
         power_iteration=[False] * 4)
+    return r_solver, o_solver, float(rdist.item()), float(odist)
+
+
+@pytest.mark.slow
+def test_cardiac_3d_n_iter0_parity():
+    """3D chain A/B at n_iter=0 (forward/final-pass parity only)."""
+    r_solver, o_solver, rdist, odist = _run_3d_ab(n_iter=0)
     mean_dev, frac = _report_sparse(
         "3d adv_data", r_solver.adv_data.detach().cpu().numpy(),
         np.asarray(o_solver.adv_data))
@@ -502,8 +529,40 @@ def test_cardiac_3d_n_iter0_parity():
         r_solver.warped_back_adv_output.detach().cpu().numpy(),
         np.asarray(o_solver.warped_back_adv_output), bulk_tol=1e-2)
     assert mean_dev < 5e-3 and frac < 0.02, (mean_dev, frac)
-    print(f"3d dist: ref {float(rdist.item()):.6f} ours {float(odist):.6f}")
-    assert abs(float(rdist.item()) - float(odist)) < 1e-3
+    print(f"3d dist: ref {rdist:.6f} ours {odist:.6f}")
+    assert abs(rdist - odist) < 1e-3
+
+
+@pytest.mark.slow
+def test_cardiac_3d_n_iter1_parity():
+    """One PGD step through the TRILINEAR chain: gradients through 8 nested
+    3D warps (reference adv_morph.py:146-177) + the 3D losses, the
+    per-transform update rules, projection, and the final pass must track
+    torch end-to-end (VERDICT round-2 item 5 — the 3D analogue of
+    test_cardiac_2d_n_iter1_parity).
+
+    Measured deviations (2026-08-19, CPU f32): params rel-l2 [bias
+    1.3e-4, morph 9.7e-4, affine 0.0, noise ~0] — the morph shift is the
+    floor-flip DIVERGENCE (note above) propagated through trilinear
+    autodiff; adv_data max dev 9.8e-5, mean 8.0e-6, 0.0% els > 1e-2; dist
+    matches to ~1e-6 absolute.  Tolerances below give ~50x headroom on
+    the measured values while staying far stricter than the 2D morph
+    bounds."""
+    r_solver, o_solver, rdist, odist = _run_3d_ab(n_iter=1)
+    for i, (rt, ot) in enumerate(zip(r_solver.chain_of_transforms,
+                                     o_solver.chain_of_transforms)):
+        rp = rt.param.detach().cpu().numpy()
+        op = np.asarray(ot.param)
+        rel = np.linalg.norm(rp - op) / (np.linalg.norm(rp) + 1e-12)
+        print(f"3d params[{i}]: rel-l2 dev {rel:.3e}")
+        assert rel < 0.05, (i, rel)
+    mean_dev, frac = _report_sparse(
+        "3d adv_data", r_solver.adv_data.detach().cpu().numpy(),
+        np.asarray(o_solver.adv_data), bulk_tol=1e-2)
+    assert mean_dev < 1e-3 and frac < 0.05, (mean_dev, frac)
+    print(f"3d dist: ref {rdist:.6f} ours {odist:.6f}")
+    rel = abs(rdist - odist) / (abs(rdist) + 1e-12)
+    assert rel < 0.1, (rdist, odist)
 
 
 # ----------------------------------------------- prostate anatomy path A/B
