@@ -467,29 +467,75 @@ def plane_gather(img, zidx, yxidx, offsets: Tuple[int, ...]):
         img_spec = pl.BlockSpec((1, k * c, d, hwp), lambda i, j: (i, 0, 0, 0),
                                 memory_space=pltpu.VMEM)
     else:
+        # streamed: the packed image stays in HBM; the tile's band — the
+        # cartesian product of its z range and yx chunk window, flattened
+        # to one loop — is DMA'd through a double-buffered (2, KCP, CH)
+        # scratch, overlapping the next block's fetch with the current
+        # block's compare + MXU matmuls.  Mosaic DMA slices of HBM
+        # buffers must be tile-aligned on the LAST TWO dims: the image is
+        # addressed FLAT (N, KCP, D*HWP) — a dynamic z index on a separate
+        # axis is an illegal memref slice, while a lane offset
+        # z*hwp + chunk*CH is 512-aligned — with the row dim zero-padded
+        # from K*C up to KCP (multiple of 8, the f32 sublane tile).
+        kcp = -(-(k * c) // 8) * 8
+
         def kernel(z_ref, yx_ref, img_ref, out_ref):
             i = pl.program_id(0)
+            zp = z_ref[0, 0, 0, :]
+            yxp = yx_ref[0, 0, 0, :]
+            lane = jax.lax.broadcasted_iota(jnp.int32, (_PT, _CH), 1)
+            zlo = jnp.maximum(jnp.min(zp), 0)  # -1 pads match nothing
+            zhi = jnp.max(zp) + 1
+            lo = jnp.min(yxp) // _CH
+            hi = jnp.minimum(jnp.max(yxp) // _CH + 1, n_chunks)
+            total = jnp.maximum(zhi - zlo, 0) * jnp.maximum(hi - lo, 0)
+            ncb = jnp.maximum(hi - lo, 1)  # div-safe (total==0 skips all)
 
             def scoped(scratch, sem):
-                def read_chunk(z, base):
-                    dma = pltpu.make_async_copy(
-                        img_ref.at[i, :, z, pl.ds(base, _CH)], scratch, sem)
-                    dma.start()
-                    dma.wait()
-                    return scratch[...]
+                def get_dma(slot, t):
+                    z = zlo + t // ncb
+                    ci = lo + jax.lax.rem(t, ncb)
+                    off = pl.multiple_of(z * hwp + ci * _CH, _CH)
+                    return pltpu.make_async_copy(
+                        img_ref.at[i, :, pl.ds(off, _CH)],
+                        scratch.at[slot], sem.at[slot])
 
-                tile_acc = make_body(read_chunk)
-                out_ref[0, 0] = tile_acc(z_ref[0, 0, 0, :],
-                                         yx_ref[0, 0, 0, :])
+                @pl.when(total > 0)
+                def _():
+                    get_dma(0, 0).start()
 
-            pl.run_scoped(scoped, pltpu.VMEM((k * c, _CH), jnp.float32),
-                          pltpu.SemaphoreType.DMA(()))
+                def body(t, acc):
+                    slot = jax.lax.rem(t, 2)
+
+                    @pl.when(t + 1 < total)
+                    def _():
+                        get_dma(1 - slot, t + 1).start()
+
+                    get_dma(slot, t).wait()
+                    z = zlo + t // ncb
+                    ci = lo + jax.lax.rem(t, ncb)
+                    base = pl.multiple_of(ci * _CH, _CH)
+                    oh = ((zp[:, None] == z)
+                          & (yxp[:, None] - base == lane)).astype(
+                              jnp.float32)
+                    return acc + _dot_f32(scratch[slot], oh,
+                                          (((1,), (1,)), ((), ())))
+
+                out_ref[0, 0] = jax.lax.fori_loop(
+                    0, total, body, jnp.zeros((kcp, _PT), jnp.float32))
+
+            pl.run_scoped(scoped, pltpu.VMEM((2, kcp, _CH), jnp.float32),
+                          pltpu.SemaphoreType.DMA((2,)))
 
         img_spec = pl.BlockSpec(memory_space=pl.ANY)
+        img_r = img_r.reshape(n, k * c, d * hwp)  # flat lane addressing
+        if kcp != k * c:
+            img_r = jnp.pad(img_r, ((0, 0), (0, kcp - k * c), (0, 0)))
 
+    rows = k * c if resident else kcp
     out = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((n, n_tiles, k * c, _PT),
+        out_shape=jax.ShapeDtypeStruct((n, n_tiles, rows, _PT),
                                        jnp.float32),
         grid=(n, n_tiles),
         in_specs=[
@@ -499,11 +545,11 @@ def plane_gather(img, zidx, yxidx, offsets: Tuple[int, ...]):
                          memory_space=pltpu.VMEM),
             img_spec,
         ],
-        out_specs=pl.BlockSpec((1, 1, k * c, _PT), lambda i, j: (i, j, 0, 0),
+        out_specs=pl.BlockSpec((1, 1, rows, _PT), lambda i, j: (i, j, 0, 0),
                                memory_space=pltpu.VMEM),
         interpret=_interpret(),
     )(z4, yx4, img_r)
-    out = out.reshape(n, n_tiles, k, c, _PT)
+    out = out[:, :, :k * c].reshape(n, n_tiles, k, c, _PT)
     out = jnp.moveaxis(out, 1, 3)
     return out.reshape(n, k, c, n_tiles * _PT)[..., :p_orig]
 
@@ -517,21 +563,20 @@ def plane_scatter(g, zidx, yxidx, offsets: Tuple[int, ...], d: int, hw: int):
     pixel tiles (grid = (N, T)) and each tile applies its banded one-hot
     matmuls as read-modify-writes — the (source-chunk x pixel-tile) grid of
     the flat corner_scatter would pay ~520k mostly-skipped grid steps per
-    volume here.  Falls back to the flat corner_scatter when the output
-    exceeds the VMEM budget."""
+    volume here.  When the output exceeds the VMEM budget the accumulator
+    stays in HBM and each tile's banded chunks are read-modify-written
+    through a VMEM scratch (_plane_scatter_streamed)."""
     n, k, c, p0 = g.shape
     assert min(offsets) >= 0, "corner offsets must be non-negative"
     hwp = -(-hw // _CH) * _CH
-    if not _fits_vmem(k, c, d * hwp):
-        flat = (jnp.maximum(zidx, 0) * hw + yxidx).astype(jnp.int32)
-        flat = jnp.where(zidx < 0, -10 ** 8, flat)
-        out = corner_scatter(g, flat, offsets, d * hw)
-        return out.reshape(n, c, d, hw)
     n_chunks = hwp // _CH
     z4, yx4, n_tiles, _ = _plane_tiles(zidx, yxidx)
     g_r = g.reshape(n, k * c, p0)
     g_r, _ = _pad_to(g_r, _PT, axis=2)
     g_r = jnp.moveaxis(g_r.reshape(n, k * c, n_tiles, _PT), 1, 2)
+    if not _fits_vmem(k, c, d * hwp):
+        out = _plane_scatter_streamed(g_r, z4, yx4, k, c, d, hwp)
+        return _plane_scatter_shift(out, n, k, c, d, hw, offsets)
 
     def kernel(z_ref, yx_ref, g_ref, out_ref):
         j = pl.program_id(1)
@@ -578,8 +623,12 @@ def plane_scatter(g, zidx, yxidx, offsets: Tuple[int, ...], d: int, hw: int):
                                memory_space=pltpu.VMEM),
         interpret=_interpret(),
     )(z4, yx4, g_r)
-    out = out.reshape(n, k, c, d, hwp)
-    # corner k's contribution lands at yx + offsets[k] within its plane
+    return _plane_scatter_shift(out, n, k, c, d, hw, offsets)
+
+
+def _plane_scatter_shift(out, n, k, c, d, hw, offsets):
+    """Corner k's contribution lands at yx + offsets[k] within its plane."""
+    out = out.reshape(n, k, c, d, out.shape[-1])
     dimg = jnp.zeros((n, c, d, hw), jnp.float32)
     for ki, off in enumerate(offsets):
         plane = out[:, ki]
@@ -590,6 +639,81 @@ def plane_scatter(g, zidx, yxidx, offsets: Tuple[int, ...], d: int, hw: int):
             plane = plane[..., :hw]
         dimg = dimg + plane
     return dimg
+
+
+def _plane_scatter_streamed(g_r, z4, yx4, k: int, c: int, d: int, hwp: int):
+    """plane_scatter for accumulators over the VMEM budget: the whole
+    accumulator lives in HBM (zero-initialized input aliased to the
+    output, addressed FLAT (N, K*C, D*HWP) — see the streamed gather's
+    Mosaic alignment note) and each pixel tile read-modify-writes only its
+    banded (z, chunk) blocks through a (K*C, CH) VMEM scratch.  Grid steps
+    are sequential per core, so the RMWs cannot race.  Returns
+    (N, K*C, D, HWP)."""
+    n, n_tiles = z4.shape[0], z4.shape[1]
+    n_chunks = hwp // _CH
+    # HBM DMA slices must be tile-aligned on the last two dims: pad the
+    # row dim to KCP (multiple of 8) like the streamed gather
+    kcp = -(-(k * c) // 8) * 8
+    if kcp != k * c:
+        g_r = jnp.pad(g_r, ((0, 0), (0, 0), (0, kcp - k * c), (0, 0)))
+    init = jnp.zeros((n, kcp, d * hwp), jnp.float32)
+
+    def kernel(z_ref, yx_ref, g_ref, acc_in_ref, acc_ref):
+        del acc_in_ref  # aliased to acc_ref (zero-initialized)
+        i = pl.program_id(0)
+        zp = z_ref[0, 0, 0, :]
+        yxp = yx_ref[0, 0, 0, :]
+        lane = jax.lax.broadcasted_iota(jnp.int32, (_PT, _CH), 1)
+        zlo = jnp.maximum(jnp.min(zp), 0)
+        zhi = jnp.max(zp) + 1
+        lo = jnp.min(yxp) // _CH
+        hi = jnp.minimum(jnp.max(yxp) // _CH + 1, n_chunks)
+        total = jnp.maximum(zhi - zlo, 0) * jnp.maximum(hi - lo, 0)
+        ncb = jnp.maximum(hi - lo, 1)
+        gt = g_ref[0, 0]  # (K*C, PT)
+
+        def scoped(scratch, sem_r, sem_w):
+            def body(t, _):
+                z = zlo + t // ncb
+                ci = lo + jax.lax.rem(t, ncb)
+                base = pl.multiple_of(ci * _CH, _CH)
+                off = pl.multiple_of(z * hwp + ci * _CH, _CH)
+                blk = acc_ref.at[i, :, pl.ds(off, _CH)]
+                rd = pltpu.make_async_copy(blk, scratch, sem_r)
+                rd.start()
+                rd.wait()
+                oh = ((zp[:, None] == z)
+                      & (yxp[:, None] - base == lane)).astype(jnp.float32)
+                scratch[...] += _dot_f32(gt, oh, (((1,), (0,)), ((), ())))
+                wr = pltpu.make_async_copy(scratch, blk, sem_w)
+                wr.start()
+                wr.wait()
+                return 0
+
+            jax.lax.fori_loop(0, total, body, 0)
+
+        pl.run_scoped(scoped, pltpu.VMEM((kcp, _CH), jnp.float32),
+                      pltpu.SemaphoreType.DMA(()),
+                      pltpu.SemaphoreType.DMA(()))
+
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((n, kcp, d * hwp), jnp.float32),
+        grid=(n, n_tiles),
+        in_specs=[
+            pl.BlockSpec((1, 1, 1, _PT), lambda i, j: (i, j, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1, _PT), lambda i, j: (i, j, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, kcp, _PT), lambda i, j: (i, j, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        input_output_aliases={3: 0},
+        interpret=_interpret(),
+    )(z4, yx4, g_r, init)
+    return out[:, :k * c].reshape(n, k * c, d, hwp)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
@@ -815,6 +939,84 @@ def _deblockify_3d(out, do: int, ho: int, wo: int):
 
 @functools.partial(jax.jit, static_argnames=("padding_mode", "align_corners",
                                              "tile_order"))
+def _grid_sample_3d_pallas_packed(x, grid, padding_mode: str = "zeros",
+                                  align_corners: bool = True,
+                                  tile_order: str = "rows"):
+    """Channel-packed trilinear sampler: TWO z-base plane calls with FOUR
+    in-plane offsets (0, 1, w, w+1) over ALL channels at once — the 2D
+    kernel's offset/fold scheme lifted per z plane.  Used when the 4-base
+    K=2 stack would need channel groups: the one-hot compare is built once
+    per (tile, z, chunk) and shared by every channel as extra matmul rows
+    (the MXU is idle below 128 rows either way), and the streamed
+    gather/scatter kernels bound VMEM independent of C."""
+    from advchain_tpu.ops.grid_sample import _prep_coord
+
+    n, c, d, h, w = x.shape
+    _, do, ho, wo, three = grid.shape
+    assert three == 3
+    hw = h * w
+    p = do * ho * wo
+    blocked = (tile_order == "blocks" and do % _BPZ3 == 0
+               and ho % _BPY3 == 0 and wo % _BPX3 == 0)
+    if blocked:
+        grid = _blockify_3d(grid, do, ho, wo)
+        gx, gy, gz = grid[..., 0], grid[..., 1], grid[..., 2]
+    else:
+        gx = grid[..., 0].reshape(n, p)
+        gy = grid[..., 1].reshape(n, p)
+        gz = grid[..., 2].reshape(n, p)
+    ix = _prep_coord(gx, w, align_corners, padding_mode)
+    iy = _prep_coord(gy, h, align_corners, padding_mode)
+    iz = _prep_coord(gz, d, align_corners, padding_mode)
+    x0 = jnp.floor(ix)
+    y0 = jnp.floor(iy)
+    z0 = jnp.floor(iz)
+    fx, fy, fz = ix - x0, iy - y0, iz - z0
+
+    def inb(xi, yi, zi):
+        if padding_mode == "zeros":
+            return ((xi >= 0) & (xi <= w - 1) & (yi >= 0) & (yi <= h - 1)
+                    & (zi >= 0) & (zi <= d - 1)).astype(jnp.float32)
+        return jnp.ones_like(fx)
+
+    # clipped taps; offsets from the clipped base are (0, 1, w, w+1), so
+    # fold any tap whose clipped coordinate collapses onto the base into
+    # the base tap's weight (same scheme as grid_sample_2d_pallas)
+    x0c = jnp.clip(x0, 0, w - 1)
+    x1c = jnp.clip(x0 + 1, 0, w - 1)
+    y0c = jnp.clip(y0, 0, h - 1)
+    y1c = jnp.clip(y0 + 1, 0, h - 1)
+    dxf = (x1c - x0c).astype(jnp.float32)  # 0.0 or 1.0
+    dyf = (y1c - y0c).astype(jnp.float32)
+    yxb = y0c.astype(jnp.int32) * w + x0c.astype(jnp.int32)
+    zs = [jnp.clip(z0, 0, d - 1).astype(jnp.int32),
+          jnp.clip(z0 + 1, 0, d - 1).astype(jnp.int32)]
+
+    x_r = x.reshape(n, c, d, hw).astype(jnp.float32)
+    out = None
+    for dz in (0, 1):
+        wz = fz if dz else (1.0 - fz)
+        w00 = (1 - fx) * (1 - fy) * wz * inb(x0, y0, z0 + dz)
+        w01 = fx * (1 - fy) * wz * inb(x0 + 1, y0, z0 + dz)
+        w10 = (1 - fx) * fy * wz * inb(x0, y0 + 1, z0 + dz)
+        w11 = fx * fy * wz * inb(x0 + 1, y0 + 1, z0 + dz)
+        cw00 = w00 + w01 * (1 - dxf) + w10 * (1 - dyf) \
+            + w11 * (1 - dxf) * (1 - dyf)
+        cw01 = w01 * dxf + w11 * dxf * (1 - dyf)
+        cw10 = w10 * dyf + w11 * (1 - dxf) * dyf
+        cw11 = w11 * dxf * dyf
+        weights = jnp.stack([cw00, cw01, cw10, cw11],
+                            axis=1).astype(jnp.float32)  # (N, 4, P)
+        part = _weighted_plane_sample(x_r, (zs[dz], yxb, weights),
+                                      (0, 1, w, w + 1), d, hw)
+        out = part if out is None else out + part
+    if blocked:
+        return _deblockify_3d(out, do, ho, wo).astype(x.dtype)
+    return out.reshape(n, c, do, ho, wo).astype(x.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("padding_mode", "align_corners",
+                                             "tile_order"))
 def grid_sample_3d_pallas(x, grid, padding_mode: str = "zeros",
                           align_corners: bool = True,
                           tile_order: str = "rows"):
@@ -844,8 +1046,18 @@ def grid_sample_3d_pallas(x, grid, padding_mode: str = "zeros",
     hw = h * w
     hwp = -(-hw // _CH) * _CH
     groups = _channel_groups(2, c, d * hwp)
-    if groups is None:  # streamed kernel: no channel split needed
-        groups = [(0, c)]
+    # channel-packing dispatch: when the K=2 per-(z,y)-base stack of ALL
+    # channels fits VMEM, the 4-base resident path below is fastest.  When
+    # it would need channel groups (or doesn't fit at all), pack every
+    # channel into ONE K=4-offset streamed call pair instead — the one-hot
+    # compare (the dominant per-band cost) is built once and shared by all
+    # channels as extra matmul rows, instead of being rebuilt per group
+    # (4 groups x 4 bases = 16 sweeps at c=4 -> 2 sweeps).
+    packed = groups is None or len(groups) > 1
+    if packed:
+        return _grid_sample_3d_pallas_packed(x, grid, padding_mode,
+                                             align_corners, tile_order)
+    groups = [(0, c)] if groups is None else groups
 
     p = do * ho * wo
     blocked = (tile_order == "blocks" and do % _BPZ3 == 0

@@ -216,16 +216,81 @@ def test_plane_scatter_is_transpose(rng):
     np.testing.assert_allclose(lhs, rhs, rtol=1e-5)
 
 
-def test_plane_scatter_flat_fallback_matches(rng, monkeypatch):
-    """Oversized outputs route through the flat corner_scatter; both paths
-    must agree."""
+def test_plane_scatter_streamed_matches(rng, monkeypatch):
+    """Oversized accumulators route through the HBM-streamed RMW scatter;
+    it must agree with the resident kernel.  (clear_cache between runs:
+    the budget is read at trace time, and identical shapes would
+    otherwise reuse the resident executable.)"""
     from advchain_tpu.kernels import gather_matmul as gm
-    n, c, d, hw, p = 1, 1, 3, 600, 200
-    offsets = (0, 1)
+    n, c, d, hw, p = 1, 2, 3, 610, 200
+    offsets = (0, 1, 25, 26)
     zidx = jnp.asarray(rng.randint(0, d, (n, p)).astype(np.int32))
-    yxidx = jnp.asarray(rng.randint(0, hw - 2, (n, p)).astype(np.int32))
-    g = jnp.asarray(rng.rand(n, 2, c, p).astype(np.float32))
+    yxidx = jnp.asarray(rng.randint(0, hw - 30, (n, p)).astype(np.int32))
+    g = jnp.asarray(rng.rand(n, len(offsets), c, p).astype(np.float32))
     resident = np.asarray(gm.plane_scatter(g, zidx, yxidx, offsets, d, hw))
     monkeypatch.setattr(gm, "_VMEM_IMG_BUDGET", 1024)
-    flat = np.asarray(gm.plane_scatter(g, zidx, yxidx, offsets, d, hw))
-    np.testing.assert_allclose(resident, flat, atol=1e-5)
+    gm.plane_scatter.clear_cache()
+    streamed = np.asarray(gm.plane_scatter(g, zidx, yxidx, offsets, d, hw))
+    gm.plane_scatter.clear_cache()
+    np.testing.assert_allclose(resident, streamed, atol=1e-5)
+
+
+@pytest.mark.parametrize("padding_mode", ["zeros", "border"])
+def test_pallas_3d_packed_matches_torch(rng, padding_mode):
+    """The channel-packed 2-z-base/4-offset sampler (the c>1 big-volume
+    path) against torch, forward."""
+    from advchain_tpu.kernels import gather_matmul as gm
+    x = rng.randn(2, 3, 6, 8, 10).astype(np.float32)
+    grid = (rng.rand(2, 4, 5, 7, 3).astype(np.float32) * 2.4 - 1.2)
+    ours = np.asarray(gm._grid_sample_3d_pallas_packed(
+        jnp.asarray(x), jnp.asarray(grid), padding_mode=padding_mode))
+    theirs = F.grid_sample(torch.from_numpy(x), torch.from_numpy(grid),
+                           mode="bilinear", padding_mode=padding_mode,
+                           align_corners=True).numpy()
+    np.testing.assert_allclose(ours, theirs, atol=1e-4)
+
+
+def test_pallas_3d_packed_gradients_match_torch(rng):
+    from advchain_tpu.kernels import gather_matmul as gm
+    x = rng.randn(1, 3, 5, 6, 8).astype(np.float32)
+    grid = (rng.rand(1, 3, 4, 5, 3).astype(np.float32) * 2.0 - 1.0)
+    gx_ours, gg_ours = jax.grad(
+        lambda xx, gg: jnp.sum(gm._grid_sample_3d_pallas_packed(xx, gg)
+                               ** 2), argnums=(0, 1))(
+        jnp.asarray(x), jnp.asarray(grid))
+    xt = torch.from_numpy(x).requires_grad_(True)
+    gt = torch.from_numpy(grid).requires_grad_(True)
+    (F.grid_sample(xt, gt, mode="bilinear", padding_mode="zeros",
+                   align_corners=True) ** 2).sum().backward()
+    np.testing.assert_allclose(np.asarray(gx_ours), xt.grad.numpy(),
+                               atol=1e-3)
+    np.testing.assert_allclose(np.asarray(gg_ours), gt.grad.numpy(),
+                               atol=1e-3)
+
+
+def test_pallas_3d_packed_dispatch_and_streamed(rng, monkeypatch):
+    """With a budget that would split channels into groups, the top-level
+    3D sampler must take the packed path (and its streamed kernels) and
+    still match torch, forward and gradients."""
+    from advchain_tpu.kernels import gather_matmul as gm
+    x = rng.randn(1, 4, 5, 9, 11).astype(np.float32)
+    grid = (rng.rand(1, 4, 6, 7, 3).astype(np.float32) * 2.2 - 1.1)
+    # two channels per group at K=2 -> channel-group split -> packed path
+    budget = 2 * 2 * (5 * -(-9 * 11 // 512) * 512) * 4
+    monkeypatch.setattr(gm, "_VMEM_IMG_BUDGET", budget)
+    assert len(gm._channel_groups(2, 4, 5 * -(-9 * 11 // 512) * 512)) > 1
+    ours = np.asarray(grid_sample_3d_pallas(jnp.asarray(x),
+                                            jnp.asarray(grid)))
+    gx_ours, gg_ours = jax.grad(
+        lambda xx, gg: jnp.sum(grid_sample_3d_pallas(xx, gg) ** 2),
+        argnums=(0, 1))(jnp.asarray(x), jnp.asarray(grid))
+    xt = torch.from_numpy(x).requires_grad_(True)
+    gt = torch.from_numpy(grid).requires_grad_(True)
+    out_t = F.grid_sample(xt, gt, mode="bilinear", padding_mode="zeros",
+                          align_corners=True)
+    (out_t ** 2).sum().backward()
+    np.testing.assert_allclose(ours, out_t.detach().numpy(), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(gx_ours), xt.grad.numpy(),
+                               atol=1e-3)
+    np.testing.assert_allclose(np.asarray(gg_ours), gt.grad.numpy(),
+                               atol=1e-3)
