@@ -72,6 +72,47 @@ RECORDED_TORCH_3D_VOLUMES_PER_SEC = 0.0347
 
 CKPT = "/root/reference/example/saved_checkpoints/cardiac_seg_unet_16.pth"
 
+# v5e per-chip peaks for roofline/MFU accounting
+V5E_PEAK_BF16_FLOPS = 197e12  # MXU peak (f32 inputs run as bf16 passes)
+V5E_PEAK_HBM_GBPS = 819.0
+
+
+def _cost_analysis(jitted, *args):
+    """(flops, bytes_accessed) for ONE dispatch of ``jitted`` via XLA's
+    HLO cost analysis (AOT: lower -> compile -> cost_analysis; the compile
+    hits the persistent cache).
+
+    Accounting note: Pallas custom calls report their HBM operand/result
+    buffer sizes but ZERO interior flops — so ``flops`` is a lower bound
+    on sampler-heavy programs (it counts the convs/matmuls/elementwise XLA
+    sees) while ``bytes`` tracks true HBM traffic closely (the kernels
+    stream each buffer ~once; re-reads inside band windows add slack the
+    analysis cannot see, so bytes is a mild lower bound too)."""
+    try:
+        cost = jitted.lower(*args).compile().cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        return float(cost.get("flops", 0.0) or 0.0), \
+            float(cost.get("bytes accessed", 0.0) or 0.0)
+    except Exception as e:  # cost analysis must never kill the bench
+        print(f"# cost analysis unavailable: {e}", file=sys.stderr)
+        return None, None
+
+
+def _attach_roofline(line, flops, nbytes, seconds_per_call):
+    """Add machine-readable roofline fields to a bench JSON line."""
+    if flops is None or not seconds_per_call:
+        return line
+    gbps = nbytes / seconds_per_call / 1e9
+    line["flops_per_call"] = flops
+    line["bytes_per_call"] = nbytes
+    line["achieved_gbps"] = round(gbps, 1)
+    line["achieved_tflops"] = round(flops / seconds_per_call / 1e12, 2)
+    line["mfu_pct"] = round(
+        100.0 * flops / seconds_per_call / V5E_PEAK_BF16_FLOPS, 2)
+    line["hbm_util_pct"] = round(100.0 * gbps / V5E_PEAK_HBM_GBPS, 1)
+    return line
+
 
 def make_image(batch, shape):
     ii, jj = np.meshgrid(np.arange(shape[0]), np.arange(shape[1]),
@@ -148,7 +189,7 @@ def _median_throughput(once, units):
 
 
 # ------------------------------------------------------------- config #2
-def bench_headline(batch=BATCH):
+def bench_headline(batch=BATCH, with_roofline=False):
     _setup_jax()
     import jax.numpy as jnp
     from advchain_tpu.augmentor import ComposeAdversarialTransformSolver
@@ -168,7 +209,19 @@ def bench_headline(batch=BATCH):
             power_iteration="smart", step_sizes=1.0)
         return float(d)  # honest sync: device->host scalar
 
-    return _median_throughput(once, batch)
+    v = _median_throughput(once, batch)
+    if not with_roofline:
+        return v
+    # cost-analyze the fused episode program (the ONLY dispatch per call)
+    solver._apply_power_iteration_setting("smart")
+    flags = solver._normalize_flags(None, N_ITER)
+    steps = solver._normalize_step_sizes(1.0)
+    ntf = len(solver.chain_of_transforms)
+    ep = solver._get_episode_fn(model, flags, steps, N_ITER,
+                                (False,) * ntf, data.shape)
+    flops, nbytes = _cost_analysis(ep, 1, data, (None,) * ntf, None,
+                                   solver._model_variables(model))
+    return v, flops, nbytes
 
 
 # ------------------------------------------------------------- config #1
@@ -201,7 +254,9 @@ def bench_random_chain(batch=BATCH):
         out = episode(next(counter), data)
         return float(out.ravel()[0])
 
-    return _median_throughput(once, batch)
+    v = _median_throughput(once, batch)
+    flops, nbytes = _cost_analysis(episode, next(counter), data)
+    return v, flops, nbytes
 
 
 # ------------------------------------------------------------- config #3
@@ -305,7 +360,15 @@ def bench_3d(batch=2, shape3d=(12, 192, 192)):
                                         n_iter=N_ITER, step_sizes=1.0)
         return float(d)
 
-    return _median_throughput(once, batch)
+    v = _median_throughput(once, batch)
+    flags = solver._normalize_flags(None, N_ITER)
+    steps = solver._normalize_step_sizes(1.0)
+    ntf = len(solver.chain_of_transforms)
+    ep = solver._get_episode_fn(model, flags, steps, N_ITER,
+                                (False,) * ntf, data.shape)
+    flops, nbytes = _cost_analysis(ep, 1, data, (None,) * ntf, None,
+                                   solver._model_variables(model))
+    return v, flops, nbytes
 
 
 # ------------------------------------------------------------- config #5
@@ -345,7 +408,9 @@ def bench_fused_train_step(batch=128):
         holder["state"] = s
         return float(metrics["total_loss"])
 
-    return _median_throughput(once, batch)
+    v = _median_throughput(once, batch)
+    flops, nbytes = _cost_analysis(step, holder["state"], batch_data, rng)
+    return v, flops, nbytes
 
 
 # ------------------------------------------------------- torch baselines
@@ -572,7 +637,7 @@ def bench_torch_3d(batch=2, shape3d=(12, 192, 192)):
 
 
 def _headline_json():
-    imgs_per_sec = bench_headline()
+    imgs_per_sec, flops, nbytes = bench_headline(with_roofline=True)
     baseline = RECORDED_TORCH_CPU_IMGS_PER_SEC
     if os.environ.get("ADVCHAIN_BENCH_MEASURE_TORCH") == "1" \
             or baseline is None:
@@ -582,12 +647,13 @@ def _headline_json():
             print(f"# torch reference baseline failed: {e}", file=sys.stderr)
             baseline = None
     vs = (imgs_per_sec / baseline) if baseline else float("nan")
-    return {
+    line = {
         "metric": "adv_chain_train_images_per_sec_192px_4tf_pgd1",
         "value": round(imgs_per_sec, 2),
         "unit": "images/sec/chip",
         "vs_baseline": round(vs, 2) if vs == vs else None,
     }
+    return _attach_roofline(line, flops, nbytes, BATCH / imgs_per_sec)
 
 
 def main():
@@ -606,31 +672,37 @@ def main():
     if "--full" not in sys.argv:
         return
     lines = [headline]
-    v1 = bench_random_chain()
-    lines.append({"metric": "random_chain_images_per_sec_192px_4tf",
-                  "value": round(v1, 2), "unit": "images/sec/chip",
-                  "vs_baseline":
-                      round(v1 / RECORDED_TORCH_RANDOM_CHAIN_IMGS_PER_SEC,
-                            2)})
+    v1, f1, b1 = bench_random_chain()
+    lines.append(_attach_roofline(
+        {"metric": "random_chain_images_per_sec_192px_4tf",
+         "value": round(v1, 2), "unit": "images/sec/chip",
+         "vs_baseline":
+             round(v1 / RECORDED_TORCH_RANDOM_CHAIN_IMGS_PER_SEC, 2)},
+        f1, b1, BATCH / v1))
     t3, sr3 = bench_constrained_solve()
     # reference solves 1 image in RECORDED..._SECONDS; we solve 4 per call —
-    # compare per-image solve latency
+    # compare per-image solve latency.  (No roofline line: a constrained
+    # solve is several programs + host retry control flow, not one
+    # dispatch.)
     lines.append({"metric": "anatomy_constrained_solve_seconds",
                   "value": round(t3, 3), "unit": "s/solve (batch 4, 3-step)",
                   "vs_baseline":
                       round(RECORDED_TORCH_CONSTRAINED_SOLVE_SECONDS
                             / (t3 / 4), 2),
                   "success_rate": sr3})
-    v4 = bench_3d()
-    lines.append({"metric": "adv_chain_3d_volumes_per_sec_12x192x192",
-                  "value": round(v4, 3), "unit": "volumes/sec/chip",
-                  "vs_baseline":
-                      round(v4 / RECORDED_TORCH_3D_VOLUMES_PER_SEC, 2)})
-    v5 = bench_fused_train_step()
+    v4, f4, b4 = bench_3d()
+    lines.append(_attach_roofline(
+        {"metric": "adv_chain_3d_volumes_per_sec_12x192x192",
+         "value": round(v4, 3), "unit": "volumes/sec/chip",
+         "vs_baseline": round(v4 / RECORDED_TORCH_3D_VOLUMES_PER_SEC, 2)},
+        f4, b4, 2 / v4))
+    v5, f5, b5 = bench_fused_train_step()
     # no reference analogue: the reference ships no training loop
-    lines.append({"metric": "fused_adv_train_step_images_per_sec_b128",
-                  "value": round(v5, 2), "unit": "images/sec/chip",
-                  "vs_baseline": None})
+    lines.append(_attach_roofline(
+        {"metric": "fused_adv_train_step_images_per_sec_b128",
+         "value": round(v5, 2), "unit": "images/sec/chip",
+         "vs_baseline": None},
+        f5, b5, BATCH / v5))
     with open("/root/repo/BENCH_full.json", "w") as f:
         for line in lines:
             f.write(json.dumps(line) + "\n")

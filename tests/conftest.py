@@ -21,6 +21,16 @@ import jax  # noqa: E402
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
+# persistent compilation cache: the suite is compile-bound on the 1-CPU CI
+# box (~13 min cold); warm runs drop well under the CLAUDE.md ~10 min
+# envelope.  Keyed per backend, so sharing the repo cache dir with the TPU
+# bench is safe.
+try:
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+except Exception:  # pragma: no cover
+    pass
+
 # ADVCHAIN_TEST_TPU=1 leaves the default backend (the real chip) in place
 # so tests/test_tpu_parity.py can exercise on-device kernel numerics.
 if os.environ.get("ADVCHAIN_TEST_TPU") != "1":
