@@ -32,7 +32,12 @@ Timing methodology:
   img/s and 3D 0.211 -> 0.247 vol/s (2026-08-19).
 * Blocked (16x32) output-tile ordering for affine warps (rotations
   degenerate the row-major tile's source band; kernels/gather_matmul.py)
-  lifted the headline 51.1 -> 69.3 img/s (2026-08-19).
+  lifted the headline to 58.5 img/s steady-state (2026-08-19; an
+  in-session peak of 69.3 never reproduced under the cold-process
+  protocol and is retired).
+* Channel-packed streamed 3D sampler (share the one-hot compare across
+  channels; kernels/gather_matmul.py) lifted the 3D episode
+  0.247 -> 1.132 vol/s (2026-08-20).
 """
 
 import json
