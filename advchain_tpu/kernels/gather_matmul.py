@@ -42,7 +42,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 __all__ = ["corner_gather", "corner_scatter", "plane_gather",
-           "plane_scatter", "grid_sample_2d_pallas", "grid_sample_3d_pallas"]
+           "plane_scatter", "band_gather", "band_scatter",
+           "grid_sample_2d_pallas", "grid_sample_3d_pallas"]
 
 # output-pixel tile (sublanes of the one-hot) / source chunk (lanes)
 _PT = 512
@@ -61,22 +62,33 @@ def _dot_f32(vals, oh, dims):
     any per-warp rounding each step (~256x) — the earlier TWO-term split
     (~1e-5 per warp) produced ~4e-3 adv_data deviations vs the exact-gather
     XLA path at episode level."""
-    hi = vals.astype(jnp.bfloat16).astype(jnp.float32)
-    r1 = vals - hi
-    mid = r1.astype(jnp.bfloat16).astype(jnp.float32)
-    lo = r1 - mid
-    return (jax.lax.dot_general(hi, oh, dims,
-                                preferred_element_type=jnp.float32)
-            + jax.lax.dot_general(mid, oh, dims,
-                                  preferred_element_type=jnp.float32)
-            + jax.lax.dot_general(lo, oh, dims,
-                                  preferred_element_type=jnp.float32))
+    hi = vals.astype(jnp.bfloat16)
+    r1 = vals - hi.astype(jnp.float32)
+    mid = r1.astype(jnp.bfloat16)
+    lo = (r1 - mid.astype(jnp.float32)).astype(jnp.bfloat16)
+    # ONE matmul with the three splits stacked on the M (row) axis: the MXU
+    # runs ceil(M/128) passes per block regardless of fill, and M=K*C is
+    # 4-24 here, so three separate M-row matmuls cost 3x the passes of one
+    # 3M-row matmul.  The splits are bf16-exact by construction and the
+    # one-hot is 0/1, so explicit bf16 inputs keep the selection f32-exact.
+    m = vals.shape[0]
+    stacked = jnp.concatenate([hi, mid, lo], axis=0)
+    out = jax.lax.dot_general(stacked, oh.astype(jnp.bfloat16), dims,
+                              preferred_element_type=jnp.float32)
+    return out[:m] + out[m:2 * m] + out[2 * m:]
 
 
 def _interpret() -> bool:
     # pallas TPU kernels only compile on TPU; CPU runs use interpret mode
     from advchain_tpu.ops.grid_sample import _on_tpu_device
     return not _on_tpu_device()
+
+
+def _band_enabled() -> bool:
+    """Trace-time escape hatch: ADVCHAIN_BAND_KERNEL=0 pins the 2D sampler
+    to the chunk kernels (A/B benchmarking; programs cache per value)."""
+    import os
+    return os.environ.get("ADVCHAIN_BAND_KERNEL", "1") != "0"
 
 
 def _pad_to(x, mult: int, axis: int, value=0):
@@ -716,6 +728,214 @@ def _plane_scatter_streamed(g_r, z4, yx4, k: int, c: int, d: int, hwp: int):
     return out[:, :k * c].reshape(n, k * c, d, hwp)
 
 
+# --------------------------------------------------- 2D row-band kernels
+#
+# The chunk kernels above pay, per (tile, source chunk) pair, a full
+# (PT x CH) = 512x512 one-hot compare plus an M = K*C-row MXU matmul —
+# ~3-9% MXU row utilization, with the compare rebuilt for every chunk in
+# the band.  The row-band kernels exploit the 2D structure instead: the
+# one-hot runs over COLUMNS only ((PT x Wp), built ONCE per output tile),
+# the matmul rows are an RB-row BAND of the image (M = 3*K*C*RB = 96-192
+# rows -> 1-2 MXU row blocks), and the per-pixel row choice becomes a cheap
+# VPU select over the RB band rows afterwards.  For the near-identity and
+# blocked-rotation tiles this domain produces, the band is 1-2 RB segments,
+# so a warp costs ~8-16 MXU passes/tile vs ~16 per CHUNK before.
+#
+# Both x taps (x, x+1) ride as K=2 pre-shifted image copies (extra matmul
+# rows); both y taps (y, y+1) come from the same band matmul via two row
+# selects — one kernel pass yields all four bilinear corners.
+
+_RB = 16  # band rows per segment (sublane-aligned; M = 3*K*C*_RB)
+
+
+def _band_pack(img):
+    """(N, C, H, W) -> (N, 2C, Hp, Wp): K=2 x-shifted copies, rows padded
+    so any RB segment starting at an 8-aligned row <= max(y)+1 stays in
+    bounds without clamping (clamping would re-cover rows and double-count
+    in the scatter), columns padded to the 128 lane tile."""
+    n, c, h, w = img.shape
+    hp = -(-(h + _RB) // 8) * 8
+    wp = -(-w // 128) * 128
+    img_p = jnp.pad(img, ((0, 0), (0, 0), (0, hp - h), (0, wp + 1 - w)))
+    img_k = jnp.stack([img_p[..., 0:wp], img_p[..., 1:wp + 1]], axis=1)
+    return img_k.reshape(n, 2 * c, hp, wp), hp, wp
+
+
+def _band_tiles(yidx, xidx):
+    """Pad to _PT and tile; y pads -1 (excluded from the band min; its
+    sel1 row-0 match gathers garbage into sliced-off outputs only)."""
+    n = yidx.shape[0]
+    y_p, p_orig = _pad_to(yidx, _PT, axis=1, value=-1)
+    x_p, _ = _pad_to(xidx, _PT, axis=1)
+    t = y_p.shape[1] // _PT
+    return y_p.reshape(n, t, 1, _PT), x_p.reshape(n, t, 1, _PT), t, p_orig
+
+
+def _band_ranges(yp):
+    """8-aligned band start and segment count covering [min(y), max(y)+1]."""
+    rlo = jnp.min(jnp.where(yp < 0, jnp.int32(2 ** 30), yp))
+    rlo8 = jnp.minimum(rlo, jnp.int32(2 ** 30 - 8)) // 8 * 8
+    rhi = jnp.max(yp) + 1
+    nseg = jnp.maximum((rhi - rlo8) // _RB + 1, 0)
+    return rlo8, nseg
+
+
+@functools.partial(jax.jit, static_argnames=())
+def band_gather(img, yidx, xidx):
+    """img: (N, C, H, W); yidx/xidx: (N, P) int32 clipped to the image;
+    returns vals (N, 4, C, P) = img at [(y,x), (y,x+1), (y+1,x), (y+1,x+1)]
+    with zero padding past H/W (call sites fold collapsed-tap weights)."""
+    n, c, h, w = img.shape
+    img_k, hp, wp = _band_pack(img)
+    y4, x4, n_tiles, p_orig = _band_tiles(yidx, xidx)
+    kc = 2 * c
+
+    def kernel(y_ref, x_ref, img_ref, out_ref):
+        yp = y_ref[0, 0, 0, :]
+        xp = x_ref[0, 0, 0, :]
+        lane = jax.lax.broadcasted_iota(jnp.int32, (_PT, wp), 1)
+        oh = (xp[:, None] == lane).astype(jnp.bfloat16)
+        rlo8, nseg = _band_ranges(yp)
+
+        def seg(si, accs):
+            a0, a1 = accs
+            base = pl.multiple_of(rlo8 + si * _RB, 8)
+            band = img_ref[0, :, pl.ds(base, _RB), :]  # (KC, RB, Wp)
+            r = _dot_f32(band.reshape(kc * _RB, wp), oh,
+                         (((1,), (1,)), ((), ())))  # (KC*RB, PT)
+            r3 = r.reshape(kc, _RB, _PT)
+            rowi = base + jax.lax.broadcasted_iota(jnp.int32, (_RB, _PT), 0)
+            s0 = (yp[None, :] == rowi).astype(jnp.float32)
+            s1 = (yp[None, :] + 1 == rowi).astype(jnp.float32)
+            return (a0 + jnp.sum(r3 * s0[None], axis=1),
+                    a1 + jnp.sum(r3 * s1[None], axis=1))
+
+        z = jnp.zeros((kc, _PT), jnp.float32)
+        a0, a1 = jax.lax.fori_loop(0, nseg, seg, (z, z))
+        # rows: [v00 (C), v01 (C), v10 (C), v11 (C)] — x-shift major in a0/a1
+        out_ref[0, 0] = jnp.concatenate([a0, a1], axis=0)
+
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((n, n_tiles, 4 * c, _PT),
+                                       jnp.float32),
+        grid=(n, n_tiles),
+        in_specs=[
+            pl.BlockSpec((1, 1, 1, _PT), lambda i, j: (i, j, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1, _PT), lambda i, j: (i, j, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, kc, hp, wp), lambda i, j: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 1, 4 * c, _PT), lambda i, j: (i, j, 0, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=_interpret(),
+    )(y4, x4, img_k)
+    # (N, T, [x0|x1 per y-tap]*C, PT) -> (N, 4, C, P) in corner order
+    out = out.reshape(n, n_tiles, 2, 2, c, _PT)  # (.., y-tap, x-shift, C, .)
+    out = jnp.moveaxis(out, 1, 4)  # (N, ytap, xshift, C, T, PT)
+    return out.reshape(n, 4, c, n_tiles * _PT)[..., :p_orig]
+
+
+@functools.partial(jax.jit, static_argnames=("h", "w"))
+def band_scatter(g, yidx, xidx, h: int, w: int):
+    """Transpose of band_gather: g (N, 4, C, P) in corner order
+    [(y,x), (y,x+1), (y+1,x), (y+1,x+1)] -> dimg (N, C, H, W).
+    Contributions past H/W (collapsed taps; their weights are zero) drop."""
+    n, four, c, p0 = g.shape
+    assert four == 4
+    kc = 2 * c
+    hp = -(-(h + _RB) // 8) * 8
+    wp = -(-w // 128) * 128
+    y4, x4, n_tiles, _ = _band_tiles(yidx, xidx)
+    # (N, 4, C, P) -> (N, T, 4C, PT) with the kernel's (y-tap, x-shift, C)
+    # row order
+    g_r = g.reshape(n, 2, 2, c, p0).reshape(n, 4 * c, p0)
+    g_r, _ = _pad_to(g_r, _PT, axis=2)
+    g_r = jnp.moveaxis(g_r.reshape(n, 4 * c, n_tiles, _PT), 1, 2)
+
+    def kernel(y_ref, x_ref, g_ref, out_ref):
+        j = pl.program_id(1)
+
+        @pl.when(j == 0)
+        def _():
+            out_ref[0] = jnp.zeros((kc, hp, wp), jnp.float32)
+
+        yp = y_ref[0, 0, 0, :]
+        xp = x_ref[0, 0, 0, :]
+        lane = jax.lax.broadcasted_iota(jnp.int32, (_PT, wp), 1)
+        oh = (xp[:, None] == lane).astype(jnp.bfloat16)
+        rlo8, nseg = _band_ranges(yp)
+        gt = g_ref[0, 0]  # (4C, PT): [g00|g01|g10|g11] C rows each
+        g0 = gt[:kc]      # y-tap 0, both x shifts
+        g1 = gt[kc:]      # y-tap 1
+
+        def seg(si, _):
+            base = pl.multiple_of(rlo8 + si * _RB, 8)
+            rowi = base + jax.lax.broadcasted_iota(jnp.int32, (_RB, _PT), 0)
+            s0 = (yp[None, :] == rowi).astype(jnp.float32)
+            s1 = (yp[None, :] + 1 == rowi).astype(jnp.float32)
+            gb = (g0[:, None, :] * s0[None] + g1[:, None, :] * s1[None])
+            contrib = _dot_f32(gb.reshape(kc * _RB, _PT), oh,
+                               (((1,), (0,)), ((), ())))  # (KC*RB, Wp)
+            out_ref[0, :, pl.ds(base, _RB), :] += contrib.reshape(
+                kc, _RB, wp)
+            return 0
+
+        jax.lax.fori_loop(0, nseg, seg, 0)
+
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((n, kc, hp, wp), jnp.float32),
+        grid=(n, n_tiles),
+        in_specs=[
+            pl.BlockSpec((1, 1, 1, _PT), lambda i, j: (i, j, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1, _PT), lambda i, j: (i, j, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 4 * c, _PT), lambda i, j: (i, j, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, kc, hp, wp), lambda i, j: (i, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=_interpret(),
+    )(y4, x4, g_r)
+    out = out.reshape(n, 2, c, hp, wp)
+    dimg = out[:, 0, :, :h, :w]
+    # the x+1 copy's column x holds the (., x+1) tap: shift right one col
+    dimg = dimg.at[:, :, :, 1:].add(out[:, 1, :, :h, :w - 1])
+    return dimg
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def _weighted_band_sample(img, payload, h: int, w: int):
+    """out[n,c,p] = sum_k w[n,k,p] * img[n,c, y+dy_k, x+dx_k] on the
+    row-band kernels; payload = (yidx, xidx int32 (N,P), weights (N,4,P))
+    in corner order [(0,0), (0,1), (1,0), (1,1)]."""
+    yidx, xidx, weights = payload
+    vals = band_gather(img, yidx, xidx)
+    return jnp.einsum("nkp,nkcp->ncp", weights, vals)
+
+
+def _wbs_fwd(img, payload, h, w):
+    yidx, xidx, weights = payload
+    vals = band_gather(img, yidx, xidx)
+    out = jnp.einsum("nkp,nkcp->ncp", weights, vals)
+    return out, (yidx, xidx, weights, vals)
+
+
+def _wbs_bwd(h, w, res, g):
+    yidx, xidx, weights, vals = res
+    d_weights = jnp.einsum("ncp,nkcp->nkp", g, vals)
+    g_corners = jnp.einsum("ncp,nkp->nkcp", g, weights)
+    d_img = band_scatter(g_corners, yidx, xidx, h, w)
+    return d_img, (None, None, d_weights)
+
+
+_weighted_band_sample.defvjp(_wbs_fwd, _wbs_bwd)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
 def _weighted_plane_sample(img, payload, offsets: Tuple[int, ...], d: int,
                            hw: int):
@@ -895,6 +1115,24 @@ def grid_sample_2d_pallas(x, grid, padding_mode: str = "zeros",
     cw10 = w10 * dyf + w11 * (1 - dxf) * dyf
     cw11 = w11 * dxf * dyf
     weights = jnp.stack([cw00, cw01, cw10, cw11], axis=1)  # (N, 4, P)
+
+    # row-band kernel dispatch: per channel group, the packed (2C, Hp, Wp)
+    # band image must fit the VMEM budget (the band path has no streamed
+    # variant; oversized images fall back to the streamed chunk kernels)
+    hp_b = -(-(h + _RB) // 8) * 8
+    wp_b = -(-w // 128) * 128
+    bgroups = _channel_groups(2, c, hp_b * wp_b) if _band_enabled() else None
+    if bgroups is not None:
+        yb = y0c.astype(jnp.int32)
+        xb = x0c.astype(jnp.int32)
+        xf = x.astype(jnp.float32)
+        payload = (yb, xb, weights.astype(jnp.float32))
+        parts = [_weighted_band_sample(xf[:, i:i + sz], payload, h, w)
+                 for i, sz in bgroups]
+        out = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=1)
+        if blocked:
+            return _deblockify_2d(out, ho, wo).astype(x.dtype)
+        return out.reshape(n, c, ho, wo).astype(x.dtype)
 
     x_flat = x.reshape(n, c, h * w).astype(jnp.float32)
     payload = (base, weights.astype(jnp.float32))

@@ -294,3 +294,82 @@ def test_pallas_3d_packed_dispatch_and_streamed(rng, monkeypatch):
                                atol=1e-3)
     np.testing.assert_allclose(np.asarray(gg_ours), gt.grad.numpy(),
                                atol=1e-3)
+
+
+def test_band_gather_exact(rng):
+    from advchain_tpu.kernels import band_gather
+    n, c, h, w = 2, 3, 37, 53
+    img = rng.rand(n, c, h, w).astype(np.float32)
+    yidx = rng.randint(0, h, (n, 600)).astype(np.int32)
+    xidx = rng.randint(0, w, (n, 600)).astype(np.int32)
+    vals = np.asarray(band_gather(jnp.asarray(img), jnp.asarray(yidx),
+                                  jnp.asarray(xidx)))  # (N, 4, C, P)
+    pad = np.pad(img, ((0, 0), (0, 0), (0, 1), (0, 1)))
+    for k, (dy, dx) in enumerate([(0, 0), (0, 1), (1, 0), (1, 1)]):
+        ref = pad[np.arange(n)[:, None, None], np.arange(c)[None, :, None],
+                  yidx[:, None, :] + dy, xidx[:, None, :] + dx]
+        np.testing.assert_allclose(vals[:, k], ref, atol=1e-6,
+                                   err_msg=f"corner {k}")
+
+
+def test_band_scatter_is_transpose(rng):
+    from advchain_tpu.kernels import band_gather, band_scatter
+    n, c, h, w, p = 2, 2, 29, 41, 500
+    img = jnp.asarray(rng.rand(n, c, h, w).astype(np.float32))
+    # keep taps off the pad row/col so gather and scatter see the same taps
+    yidx = jnp.asarray(rng.randint(0, h - 1, (n, p)).astype(np.int32))
+    xidx = jnp.asarray(rng.randint(0, w - 1, (n, p)).astype(np.int32))
+    g = jnp.asarray(rng.rand(n, 4, c, p).astype(np.float32))
+    lhs = float(jnp.sum(band_scatter(g, yidx, xidx, h, w) * img))
+    rhs = float(jnp.sum(g * band_gather(img, yidx, xidx)))
+    np.testing.assert_allclose(lhs, rhs, rtol=1e-5)
+
+
+@pytest.mark.parametrize("tile_order", ["rows", "blocks"])
+def test_band_sampler_matches_torch_with_grads(rng, tile_order):
+    """The 2D sampler's band path (default dispatch for VMEM-sized images)
+    against torch, forward and both gradients."""
+    x = rng.randn(2, 2, 32, 64).astype(np.float32)
+    grid = (rng.rand(2, 32, 64, 2).astype(np.float32) * 2.4 - 1.2)
+    ours = np.asarray(grid_sample_2d_pallas(
+        jnp.asarray(x), jnp.asarray(grid), tile_order=tile_order))
+    gx_ours, gg_ours = jax.grad(
+        lambda xx, gg: jnp.sum(grid_sample_2d_pallas(
+            xx, gg, tile_order=tile_order) ** 2),
+        argnums=(0, 1))(jnp.asarray(x), jnp.asarray(grid))
+    xt = torch.from_numpy(x).requires_grad_(True)
+    gt = torch.from_numpy(grid).requires_grad_(True)
+    out_t = F.grid_sample(xt, gt, mode="bilinear", padding_mode="zeros",
+                          align_corners=True)
+    (out_t ** 2).sum().backward()
+    np.testing.assert_allclose(ours, out_t.detach().numpy(), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(gx_ours), xt.grad.numpy(),
+                               atol=1e-3)
+    np.testing.assert_allclose(np.asarray(gg_ours), gt.grad.numpy(),
+                               atol=1e-3)
+
+
+def test_band_matches_chunk_kernels(rng, monkeypatch):
+    """Band path vs chunk path on the same inputs — both f32-exact, so
+    they must agree to float tolerance (env pin read at trace time)."""
+    import os
+    from advchain_tpu.kernels import gather_matmul as gm
+    x = jnp.asarray(rng.randn(2, 3, 24, 40).astype(np.float32))
+    grid = jnp.asarray((rng.rand(2, 24, 40, 2) * 2.2 - 1.1)
+                       .astype(np.float32))
+
+    def run():
+        gm.grid_sample_2d_pallas.clear_cache()
+        out, (gx, gg) = jax.value_and_grad(
+            lambda xx, gg: jnp.sum(gm.grid_sample_2d_pallas(xx, gg) ** 2),
+            argnums=(0, 1))(x, grid)
+        return float(out), np.asarray(gx), np.asarray(gg)
+
+    monkeypatch.setitem(os.environ, "ADVCHAIN_BAND_KERNEL", "1")
+    o_b, gx_b, gg_b = run()
+    monkeypatch.setitem(os.environ, "ADVCHAIN_BAND_KERNEL", "0")
+    o_c, gx_c, gg_c = run()
+    gm.grid_sample_2d_pallas.clear_cache()
+    np.testing.assert_allclose(o_b, o_c, rtol=1e-6)
+    np.testing.assert_allclose(gx_b, gx_c, atol=1e-5)
+    np.testing.assert_allclose(gg_b, gg_c, atol=1e-5)
