@@ -33,6 +33,7 @@ corner values).
 from __future__ import annotations
 
 import functools
+import os
 from typing import Tuple
 
 import numpy as np
@@ -745,16 +746,30 @@ def _plane_scatter_streamed(g_r, z4, yx4, k: int, c: int, d: int, hwp: int):
 # rows); both y taps (y, y+1) come from the same band matmul via two row
 # selects — one kernel pass yields all four bilinear corners.
 
-_RB = 16  # band rows per segment (sublane-aligned; M = 3*K*C*_RB)
+_RB = 16  # max band rows per segment (sublane-aligned; M = 3*K*C*RB)
 
 
-def _band_pack(img):
+def _band_rb(kc: int) -> int:
+    """Band rows per segment for a KC-channel packed image (trace-time;
+    ADVCHAIN_BAND_RB overrides for A/B benching).  RB=16 measured best at
+    every KC: shrinking to RB=8 at KC=4 makes M = 3*KC*RB one MXU row
+    block instead of two, but the 8-aligned band start means a 512-px
+    row-major tile's ~3-11-row span then needs a second segment (own
+    matmul + row selects), which costs more than the saved row block
+    (measured: warp c=2 37.8->45.6 ms, ss8 fwd+bwd 190->200 ms)."""
+    ov = os.environ.get("ADVCHAIN_BAND_RB")
+    if ov:
+        return int(ov)
+    return 16
+
+
+def _band_pack(img, rb):
     """(N, C, H, W) -> (N, 2C, Hp, Wp): K=2 x-shifted copies, rows padded
     so any RB segment starting at an 8-aligned row <= max(y)+1 stays in
     bounds without clamping (clamping would re-cover rows and double-count
     in the scatter), columns padded to the 128 lane tile."""
     n, c, h, w = img.shape
-    hp = -(-(h + _RB) // 8) * 8
+    hp = -(-(h + rb) // 8) * 8
     wp = -(-w // 128) * 128
     img_p = jnp.pad(img, ((0, 0), (0, 0), (0, hp - h), (0, wp + 1 - w)))
     img_k = jnp.stack([img_p[..., 0:wp], img_p[..., 1:wp + 1]], axis=1)
@@ -771,12 +786,12 @@ def _band_tiles(yidx, xidx):
     return y_p.reshape(n, t, 1, _PT), x_p.reshape(n, t, 1, _PT), t, p_orig
 
 
-def _band_ranges(yp):
+def _band_ranges(yp, rb):
     """8-aligned band start and segment count covering [min(y), max(y)+1]."""
     rlo = jnp.min(jnp.where(yp < 0, jnp.int32(2 ** 30), yp))
     rlo8 = jnp.minimum(rlo, jnp.int32(2 ** 30 - 8)) // 8 * 8
     rhi = jnp.max(yp) + 1
-    nseg = jnp.maximum((rhi - rlo8) // _RB + 1, 0)
+    nseg = jnp.maximum((rhi - rlo8) // rb + 1, 0)
     return rlo8, nseg
 
 
@@ -786,25 +801,26 @@ def band_gather(img, yidx, xidx):
     returns vals (N, 4, C, P) = img at [(y,x), (y,x+1), (y+1,x), (y+1,x+1)]
     with zero padding past H/W (call sites fold collapsed-tap weights)."""
     n, c, h, w = img.shape
-    img_k, hp, wp = _band_pack(img)
-    y4, x4, n_tiles, p_orig = _band_tiles(yidx, xidx)
     kc = 2 * c
+    rb = _band_rb(kc)
+    img_k, hp, wp = _band_pack(img, rb)
+    y4, x4, n_tiles, p_orig = _band_tiles(yidx, xidx)
 
     def kernel(y_ref, x_ref, img_ref, out_ref):
         yp = y_ref[0, 0, 0, :]
         xp = x_ref[0, 0, 0, :]
         lane = jax.lax.broadcasted_iota(jnp.int32, (_PT, wp), 1)
         oh = (xp[:, None] == lane).astype(jnp.bfloat16)
-        rlo8, nseg = _band_ranges(yp)
+        rlo8, nseg = _band_ranges(yp, rb)
 
         def seg(si, accs):
             a0, a1 = accs
-            base = pl.multiple_of(rlo8 + si * _RB, 8)
-            band = img_ref[0, :, pl.ds(base, _RB), :]  # (KC, RB, Wp)
-            r = _dot_f32(band.reshape(kc * _RB, wp), oh,
+            base = pl.multiple_of(rlo8 + si * rb, 8)
+            band = img_ref[0, :, pl.ds(base, rb), :]  # (KC, RB, Wp)
+            r = _dot_f32(band.reshape(kc * rb, wp), oh,
                          (((1,), (1,)), ((), ())))  # (KC*RB, PT)
-            r3 = r.reshape(kc, _RB, _PT)
-            rowi = base + jax.lax.broadcasted_iota(jnp.int32, (_RB, _PT), 0)
+            r3 = r.reshape(kc, rb, _PT)
+            rowi = base + jax.lax.broadcasted_iota(jnp.int32, (rb, _PT), 0)
             s0 = (yp[None, :] == rowi).astype(jnp.float32)
             s1 = (yp[None, :] + 1 == rowi).astype(jnp.float32)
             return (a0 + jnp.sum(r3 * s0[None], axis=1),
@@ -846,7 +862,8 @@ def band_scatter(g, yidx, xidx, h: int, w: int):
     n, four, c, p0 = g.shape
     assert four == 4
     kc = 2 * c
-    hp = -(-(h + _RB) // 8) * 8
+    rb = _band_rb(kc)
+    hp = -(-(h + rb) // 8) * 8
     wp = -(-w // 128) * 128
     y4, x4, n_tiles, _ = _band_tiles(yidx, xidx)
     # (N, 4, C, P) -> (N, T, 4C, PT) with the kernel's (y-tap, x-shift, C)
@@ -866,21 +883,21 @@ def band_scatter(g, yidx, xidx, h: int, w: int):
         xp = x_ref[0, 0, 0, :]
         lane = jax.lax.broadcasted_iota(jnp.int32, (_PT, wp), 1)
         oh = (xp[:, None] == lane).astype(jnp.bfloat16)
-        rlo8, nseg = _band_ranges(yp)
+        rlo8, nseg = _band_ranges(yp, rb)
         gt = g_ref[0, 0]  # (4C, PT): [g00|g01|g10|g11] C rows each
         g0 = gt[:kc]      # y-tap 0, both x shifts
         g1 = gt[kc:]      # y-tap 1
 
         def seg(si, _):
-            base = pl.multiple_of(rlo8 + si * _RB, 8)
-            rowi = base + jax.lax.broadcasted_iota(jnp.int32, (_RB, _PT), 0)
+            base = pl.multiple_of(rlo8 + si * rb, 8)
+            rowi = base + jax.lax.broadcasted_iota(jnp.int32, (rb, _PT), 0)
             s0 = (yp[None, :] == rowi).astype(jnp.float32)
             s1 = (yp[None, :] + 1 == rowi).astype(jnp.float32)
             gb = (g0[:, None, :] * s0[None] + g1[:, None, :] * s1[None])
-            contrib = _dot_f32(gb.reshape(kc * _RB, _PT), oh,
+            contrib = _dot_f32(gb.reshape(kc * rb, _PT), oh,
                                (((1,), (0,)), ((), ())))  # (KC*RB, Wp)
-            out_ref[0, :, pl.ds(base, _RB), :] += contrib.reshape(
-                kc, _RB, wp)
+            out_ref[0, :, pl.ds(base, rb), :] += contrib.reshape(
+                kc, rb, wp)
             return 0
 
         jax.lax.fori_loop(0, nseg, seg, 0)

@@ -159,6 +159,55 @@ def _use_pallas() -> bool:
     return _on_tpu_device()
 
 
+def stencil_warp_2d(img, grid, radius: int):
+    """Bilinear warp (border padding, align_corners=True) specialized for
+    near-identity grids: every sample must lie within ``radius`` pixels of
+    its own output pixel (the CALLER guarantees this — see
+    ops/integrate.py::compose_flow's lax.cond dispatch).
+
+    Under that bound the gather degenerates to (2*radius+1)^2 STATIC
+    shifts of the image with spatially-varying bilinear weights — pure
+    fused elementwise VPU work, no gather and no MXU.  This is the fast
+    path for morph's scaling-and-squaring self-compositions (reference
+    adv_morph.py:116-144), whose displacement doubles from |duv|/2^n per
+    step: the first ~half of the steps are sub-pixel.  Math is exactly
+    bilinear-with-border-clamp, so results match grid_sample_2d(...,
+    padding_mode='border') to f32 rounding; gradients to both img and
+    grid flow through native autodiff (no custom VJP needed).
+    """
+    n, c, h, w = img.shape
+    f = img.dtype
+    xpix = (grid[..., 0].astype(f) + 1.0) * 0.5 * (w - 1)  # (N, Ho=H, Wo=W)
+    ypix = (grid[..., 1].astype(f) + 1.0) * 0.5 * (h - 1)
+    y0 = jnp.floor(ypix)
+    x0 = jnp.floor(xpix)
+    fy = ypix - y0
+    fx = xpix - x0
+    iy = jnp.arange(h, dtype=jnp.int32)[None, :, None]
+    ix = jnp.arange(w, dtype=jnp.int32)[None, None, :]
+    dy = y0.astype(jnp.int32) - iy  # in [-radius, radius-1] by the bound
+    dx = x0.astype(jnp.int32) - ix
+    R = int(radius)
+    imgp = jnp.pad(img, ((0, 0), (0, 0), (R, R), (R, R)), mode="edge")
+    one = jnp.ones((), f)
+    zero = jnp.zeros((), f)
+    # tap row i+r gets weight (1-fy) where y0==i+r plus fy where y0+1==i+r;
+    # border clamp == edge-replicated halo because taps stay within R of i.
+    wys = [jnp.where(dy == r, one - fy, zero) + jnp.where(dy == r - 1, fy,
+                                                          zero)
+           for r in range(-R, R + 1)]
+    wxs = [jnp.where(dx == s, one - fx, zero) + jnp.where(dx == s - 1, fx,
+                                                          zero)
+           for s in range(-R, R + 1)]
+    out = jnp.zeros((n, c, h, w), f)
+    for r in range(-R, R + 1):
+        wy = wys[r + R][:, None]
+        for s in range(-R, R + 1):
+            tap = imgp[:, :, R + r:R + r + h, R + s:R + s + w]
+            out = out + (wy * wxs[s + R][:, None]) * tap
+    return out
+
+
 def grid_sample_2d(x, grid, mode: str = "bilinear", padding_mode: str = "zeros",
                    align_corners: bool = True, tile_order: str = "rows"):
     """Sample ``x`` (N, C, H, W) at ``grid`` (N, Ho, Wo, 2); grid[..., 0]=x (W axis).
@@ -248,6 +297,53 @@ def _grid_sample_2d_xla(x, grid, mode="bilinear", padding_mode="zeros",
             contrib = v * wgt[:, None, :]
             out = contrib if out is None else out + contrib
     return out.reshape(n, c, ho, wo).astype(x.dtype)
+
+
+def stencil_warp_3d(img, grid, radius: int):
+    """Trilinear warp (border padding, align_corners=True) specialized for
+    near-identity grids — the 3D analogue of :func:`stencil_warp_2d`:
+    every sample must lie within ``radius`` voxels of its own output voxel
+    (caller-guaranteed via compose_flow's lax.cond).  (2R+1)^3 static
+    shifts with spatially-varying separable weights; grid channel order is
+    torch's (x=W, y=H, z=D)."""
+    n, c, d, h, w = img.shape
+    f = img.dtype
+    xpix = (grid[..., 0].astype(f) + 1.0) * 0.5 * (w - 1)  # (N, D, H, W)
+    ypix = (grid[..., 1].astype(f) + 1.0) * 0.5 * (h - 1)
+    zpix = (grid[..., 2].astype(f) + 1.0) * 0.5 * (d - 1)
+    z0 = jnp.floor(zpix)
+    y0 = jnp.floor(ypix)
+    x0 = jnp.floor(xpix)
+    fz, fy, fx = zpix - z0, ypix - y0, xpix - x0
+    iz = jnp.arange(d, dtype=jnp.int32)[None, :, None, None]
+    iy = jnp.arange(h, dtype=jnp.int32)[None, None, :, None]
+    ix = jnp.arange(w, dtype=jnp.int32)[None, None, None, :]
+    dz = z0.astype(jnp.int32) - iz
+    dy = y0.astype(jnp.int32) - iy
+    dx = x0.astype(jnp.int32) - ix
+    R = int(radius)
+    imgp = jnp.pad(img, ((0, 0), (0, 0), (R, R), (R, R), (R, R)),
+                   mode="edge")
+    one = jnp.ones((), f)
+    zero = jnp.zeros((), f)
+
+    def taps(di, frac):
+        return [jnp.where(di == t, one - frac, zero)
+                + jnp.where(di == t - 1, frac, zero)
+                for t in range(-R, R + 1)]
+
+    wzs, wys, wxs = taps(dz, fz), taps(dy, fy), taps(dx, fx)
+    out = jnp.zeros((n, c, d, h, w), f)
+    for tz in range(-R, R + 1):
+        wz = wzs[tz + R][:, None]
+        pz = imgp[:, :, R + tz:R + tz + d]
+        for ty in range(-R, R + 1):
+            wzy = wz * wys[ty + R][:, None]
+            py = pz[:, :, :, R + ty:R + ty + h]
+            for tx in range(-R, R + 1):
+                tap = py[:, :, :, :, R + tx:R + tx + w]
+                out = out + (wzy * wxs[tx + R][:, None]) * tap
+    return out
 
 
 def grid_sample_3d(x, grid, mode: str = "bilinear", padding_mode: str = "zeros",

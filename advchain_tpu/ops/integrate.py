@@ -17,7 +17,8 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from .grid_sample import grid_sample_2d, grid_sample_3d
+from .grid_sample import (grid_sample_2d, grid_sample_3d, stencil_warp_2d,
+                          stencil_warp_3d)
 
 __all__ = ["base_grid", "compose_flow", "exponentiate_flow",
            "jacobian_determinant_2d"]
@@ -45,20 +46,69 @@ def base_grid(batch_size: int, spatial_shape, dtype=jnp.float32):
     return jnp.broadcast_to(grid, (batch_size, d) + spatial_shape)
 
 
+def _stencil_enabled() -> bool:
+    """Trace-time gate (set before building programs):
+    ADVCHAIN_STENCIL=0 pins compose_flow to the sampler kernels."""
+    import os
+    return os.environ.get("ADVCHAIN_STENCIL", "1") != "0"
+
+
 def compose_flow(flow1, flow2):
     """h = f(g(x)): sample flow1 at the positions given by flow2.
 
     flow*: (N, d, *spatial) channel-first deformation grids in [-1, 1].
     border padding + align_corners=True (reference adv_morph.py:179-202).
+
+    2D fast path: scaling-and-squaring displacements start at |duv|/2^n
+    and double per step, so early self-compositions sample within 1-2 px
+    of their own output pixel.  A runtime ``lax.cond`` on the measured
+    max displacement routes those through ``stencil_warp_2d`` (static
+    shifts + spatially-varying weights: fused VPU elementwise, no gather,
+    no MXU) and everything else through the sampler kernels.  Both
+    branches compute exact bilinear-with-border, so this is a pure perf
+    dispatch — results are identical to f32 rounding for ANY input.
     """
     d = flow1.shape[1]
+    grid = jnp.moveaxis(flow2, 1, -1)  # (N, *spatial, d)
     if d == 2:
-        grid = jnp.moveaxis(flow2, 1, -1)  # (N, H, W, 2)
-        return grid_sample_2d(flow1, grid, mode="bilinear",
+        def band(f):
+            return grid_sample_2d(f, grid, mode="bilinear",
+                                  padding_mode="border", align_corners=True)
+        if not (_stencil_enabled() and flow1.shape == flow2.shape):
+            return band(flow1)
+        h, w = flow1.shape[2:]
+        base = base_grid(1, (h, w), dtype=flow2.dtype)
+        u = flow2 - base
+        dpx = jnp.maximum(jnp.max(jnp.abs(u[:, 0])) * (0.5 * (w - 1)),
+                          jnp.max(jnp.abs(u[:, 1])) * (0.5 * (h - 1)))
+        # checkpoint: the stencil's (2R+1)^2 weight planes would otherwise
+        # be saved per step for the backward pass (~115 MB/step at the
+        # headline shapes -> OOM through 8 nested compositions); they are
+        # cheap elementwise functions of the grid, so recompute them.
+        # ONE cond tier only — a nested R=1/R=2 ladder fragmented the
+        # episode program's HBM allocation past capacity (78% frag OOM).
+        stencil = jax.checkpoint(stencil_warp_2d, static_argnums=(2,))
+        return lax.cond(
+            dpx < 2.0 - 1e-3,
+            lambda f: stencil(f, grid, 2),
+            band, flow1)
+
+    def band3(f):
+        return grid_sample_3d(f, grid, mode="bilinear",
                               padding_mode="border", align_corners=True)
-    grid = jnp.moveaxis(flow2, 1, -1)  # (N, S0, S1, S2, 3)
-    return grid_sample_3d(flow1, grid, mode="bilinear",
-                          padding_mode="border", align_corners=True)
+    if not (_stencil_enabled() and flow1.shape == flow2.shape):
+        return band3(flow1)
+    dd, h, w = flow1.shape[2:]
+    base = base_grid(1, (dd, h, w), dtype=flow2.dtype)
+    u = flow2 - base
+    dpx = jnp.maximum(
+        jnp.maximum(jnp.max(jnp.abs(u[:, 0])) * (0.5 * (w - 1)),
+                    jnp.max(jnp.abs(u[:, 1])) * (0.5 * (h - 1))),
+        jnp.max(jnp.abs(u[:, 2])) * (0.5 * (dd - 1)))
+    stencil3 = jax.checkpoint(stencil_warp_3d, static_argnums=(2,))
+    return lax.cond(dpx < 1.0 - 1e-3,
+                    lambda f: stencil3(f, grid, 1),
+                    band3, flow1)
 
 
 def exponentiate_flow(duv, nb_steps: int = 8, method: str = "ss",

@@ -54,6 +54,83 @@ def test_grid_sample_3d(rng, padding_mode):
     np.testing.assert_allclose(ours, theirs, atol=TOL)
 
 
+@pytest.mark.parametrize("radius", [1, 2])
+def test_stencil_warp_2d_matches_torch(rng, radius):
+    """stencil_warp_2d (compose_flow's sub-``radius``-px fast path,
+    ops/grid_sample.py) must be exactly bilinear-with-border: torch oracle
+    on grids whose displacement stays within the radius, values + both
+    gradients (reference semantics: adv_morph.py:179-202)."""
+    import jax
+    from advchain_tpu.ops.grid_sample import stencil_warp_2d
+    from advchain_tpu.ops.integrate import base_grid
+
+    n, c, h, w = 2, 3, 19, 27
+    x = _rand(rng, n, c, h, w)
+    upx = (rng.rand(n, 2, h, w).astype(np.float32) * 2 - 1) * (radius - 0.03)
+    scale = np.asarray([2.0 / (w - 1), 2.0 / (h - 1)],
+                       np.float32).reshape(1, 2, 1, 1)
+    flow = np.asarray(base_grid(n, (h, w))) + upx * scale
+    grid = np.moveaxis(flow, 1, -1)
+
+    ours = np.asarray(stencil_warp_2d(jnp.asarray(x), jnp.asarray(grid),
+                                      radius))
+    theirs = F.grid_sample(torch.from_numpy(x), torch.from_numpy(grid),
+                           mode="bilinear", padding_mode="border",
+                           align_corners=True).numpy()
+    np.testing.assert_allclose(ours, theirs, atol=TOL)
+
+    g_ours = np.asarray(jax.grad(lambda g: jnp.sum(
+        stencil_warp_2d(jnp.asarray(x), g, radius) ** 2))(jnp.asarray(grid)))
+    gt = torch.from_numpy(grid).requires_grad_(True)
+    (F.grid_sample(torch.from_numpy(x), gt, mode="bilinear",
+                   padding_mode="border",
+                   align_corners=True) ** 2).sum().backward()
+    np.testing.assert_allclose(g_ours, gt.grad.numpy(), atol=1e-3)
+
+
+def test_stencil_warp_3d_matches_torch(rng):
+    """3D analogue: trilinear border warp for sub-voxel displacements."""
+    from advchain_tpu.ops.grid_sample import stencil_warp_3d
+    from advchain_tpu.ops.integrate import base_grid
+
+    n, c, d, h, w = 2, 2, 6, 13, 17
+    x = _rand(rng, n, c, d, h, w)
+    upx = (rng.rand(n, 3, d, h, w).astype(np.float32) * 2 - 1) * 0.97
+    scale = np.asarray([2.0 / (w - 1), 2.0 / (h - 1), 2.0 / (d - 1)],
+                       np.float32).reshape(1, 3, 1, 1, 1)
+    flow = np.asarray(base_grid(n, (d, h, w))) + upx * scale
+    grid = np.moveaxis(flow, 1, -1)
+
+    ours = np.asarray(stencil_warp_3d(jnp.asarray(x), jnp.asarray(grid), 1))
+    theirs = F.grid_sample(torch.from_numpy(x), torch.from_numpy(grid),
+                           mode="bilinear", padding_mode="border",
+                           align_corners=True).numpy()
+    np.testing.assert_allclose(ours, theirs, atol=TOL)
+
+
+def test_compose_flow_stencil_dispatch_equivalence(rng):
+    """compose_flow's lax.cond dispatch is a pure perf fork: pinned-off
+    (ADVCHAIN_STENCIL=0) and default paths agree to f32-compounding noise
+    through a full 8-step scaling-and-squaring exponentiation."""
+    import os
+    from advchain_tpu.ops import integrate
+
+    duv2 = jnp.asarray(0.08 * rng.randn(2, 2, 21, 23).astype(np.float32))
+    duv3 = jnp.asarray(0.05 * rng.randn(2, 3, 6, 13, 17).astype(np.float32))
+    on2 = integrate.exponentiate_flow(duv2, nb_steps=8, method="ss")
+    on3 = integrate.exponentiate_flow(duv3, nb_steps=8, method="ss",
+                                      adaptive=True)
+    os.environ["ADVCHAIN_STENCIL"] = "0"
+    try:
+        off2 = integrate.exponentiate_flow(duv2, nb_steps=8, method="ss")
+        off3 = integrate.exponentiate_flow(duv3, nb_steps=8, method="ss",
+                                           adaptive=True)
+    finally:
+        del os.environ["ADVCHAIN_STENCIL"]
+    assert float(jnp.max(jnp.abs(on2 - off2))) < 1e-4
+    assert float(jnp.max(jnp.abs(on3 - off3))) < 1e-4
+
+
 def test_grid_sample_grad_wrt_grid(rng):
     """The adversarial chain differentiates through the sampler w.r.t. the
     grid; check grads vs torch autograd."""
