@@ -47,9 +47,18 @@ def base_grid(batch_size: int, spatial_shape, dtype=jnp.float32):
 
 
 def _stencil_enabled() -> bool:
-    """Trace-time gate (set before building programs):
-    ADVCHAIN_STENCIL=0 pins compose_flow to the sampler kernels."""
+    """Trace-time gate: ADVCHAIN_STENCIL=0 pins compose_flow to the
+    sampler kernels (set before building programs).  Also OFF under a
+    spatial (data, space) mesh: the lax.cond predicate is a max over a
+    spatially-sharded field, and GSPMD lowers the branches to different
+    collective sequences per shard — devices that disagree on the
+    predicate deadlock in rendezvous (observed on the virtual 8-device
+    CPU mesh).  Spatially-sharded steps take the sampler path, whose
+    shard_map wrappers are mesh-aware."""
     import os
+    from .grid_sample import _SPATIAL_MESH
+    if _SPATIAL_MESH is not None:
+        return False
     return os.environ.get("ADVCHAIN_STENCIL", "1") != "0"
 
 
