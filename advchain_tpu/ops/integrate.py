@@ -114,6 +114,10 @@ def compose_flow(flow1, flow2):
         jnp.maximum(jnp.max(jnp.abs(u[:, 0])) * (0.5 * (w - 1)),
                     jnp.max(jnp.abs(u[:, 1])) * (0.5 * (h - 1))),
         jnp.max(jnp.abs(u[:, 2])) * (0.5 * (dd - 1)))
+    # single R=1 tier: an R=2 ladder measured EXACTLY the same 3D episode
+    # throughput (2.377 vs 2.378 vol/s) — the adaptive step growth keeps
+    # most compositions sub-voxel already and the doubling sequence skips
+    # the (1, 2) px window — so keep the simpler program.
     stencil3 = jax.checkpoint(stencil_warp_3d, static_argnums=(2,))
     return lax.cond(dpx < 1.0 - 1e-3,
                     lambda f: stencil3(f, grid, 1),
