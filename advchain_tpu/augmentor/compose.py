@@ -111,6 +111,17 @@ class ComposeAdversarialTransformSolver:
         self._step_cache.clear()
         self._cache_pins.clear()
 
+    def _chain_cache_key(self):
+        """Per-transform identity component for every program cache: the
+        jitted closures capture the transform OBJECTS (their configs —
+        epsilon, vector_size, padding, cp spacing — shape the traced
+        program), so a chain reassigned with same-typed but
+        differently-configured transforms must not reuse a stale program
+        (reference chains are plain reassignable attributes,
+        adv_compose_solver.py:16-41).  Callers must pin the transforms
+        tuple via _cache_put(pin=...) to keep the id()s alive."""
+        return tuple(id(t) for t in self.chain_of_transforms)
+
     def _next_episode_seed(self) -> int:
         self._episode_counter += 1
         return self._episode_counter
@@ -312,12 +323,8 @@ class ComposeAdversarialTransformSolver:
         return score
 
     def _get_misoverlap_fn(self, mask_shape):
-        # the jitted closure captures the transform OBJECTS (their configs
-        # shape the traced program), so key on their identities — a chain
-        # reassigned with same-typed but differently-configured transforms
-        # must not reuse a stale program.  The pin keeps the id()s alive.
         transforms = tuple(self.chain_of_transforms)
-        key = ("misoverlap", mask_shape, tuple(id(t) for t in transforms))
+        key = ("misoverlap", mask_shape, self._chain_cache_key())
         if self._cache_get(key) is None:
 
             def misoverlap(params, mask):
@@ -476,9 +483,7 @@ class ComposeAdversarialTransformSolver:
         """Fused random init of every transform's params: ONE device program
         instead of a dozen small dispatches (each host->device dispatch costs
         real latency on remote/tunneled TPU runtimes)."""
-        key = ("init_all",
-               tuple(type(t).__name__ for t in self.chain_of_transforms),
-               tuple(tuple(t.data_size) for t in self.chain_of_transforms))
+        key = ("init_all", self._chain_cache_key())
         if self._cache_get(key) is None:
             transforms = tuple(self.chain_of_transforms)
 
@@ -487,13 +492,13 @@ class ComposeAdversarialTransformSolver:
                 return tuple(t.init_params(k)
                              for t, k in zip(transforms, keys))
 
-            self._cache_put(key, jax.jit(init_all))
+            self._cache_put(key, jax.jit(init_all), pin=transforms)
         return self._cache_get(key)
 
     def _get_project_all_fn(self, optimize_flags):
         """Fused projection (rescale_parameters) for flagged transforms."""
         key = ("project_all", tuple(optimize_flags),
-               tuple(type(t).__name__ for t in self.chain_of_transforms))
+               self._chain_cache_key())
         if self._cache_get(key) is None:
             transforms = tuple(self.chain_of_transforms)
             flags = tuple(optimize_flags)
@@ -502,7 +507,7 @@ class ComposeAdversarialTransformSolver:
                 return tuple(t.project(p) if f else p
                              for t, p, f in zip(transforms, params, flags))
 
-            self._cache_put(key, jax.jit(project_all))
+            self._cache_put(key, jax.jit(project_all), pin=transforms)
         return self._cache_get(key)
 
     def _model_call(self, model, x, dropout_key=None, variables=None,
@@ -630,7 +635,7 @@ class ComposeAdversarialTransformSolver:
 
     def _get_final_loss_fn(self, model, data_shape):
         key = ("final", self._model_cache_key(model), tuple(data_shape),
-               tuple(type(t).__name__ for t in self.chain_of_transforms))
+               self._chain_cache_key())
         if self._cache_get(key) is None:
             # reference forces model.train() for the final consistency pass
             # (adv_compose_solver.py:256-259): batch statistics, fixed
@@ -643,7 +648,8 @@ class ComposeAdversarialTransformSolver:
                                                model_vars, train=True))
                 return raw(params, data, init_output)
 
-            self._cache_put(key, jax.jit(final_fn), pin=model)
+            self._cache_put(key, jax.jit(final_fn),
+                            pin=(model, tuple(self.chain_of_transforms)))
         fn = self._cache_get(key)
 
         def bound(params, data, init_output):
@@ -671,7 +677,7 @@ class ComposeAdversarialTransformSolver:
                tuple(step_sizes), int(n_iter), present,
                tuple(data_shape),
                tuple(t.power_iteration for t in self.chain_of_transforms),
-               tuple(type(t).__name__ for t in self.chain_of_transforms))
+               self._chain_cache_key())
         if self._cache_get(key) is None:
             transforms = tuple(self.chain_of_transforms)
             flags = tuple(bool(f) for f in optimize_flags)
@@ -723,7 +729,8 @@ class ComposeAdversarialTransformSolver:
                         init_output, jnp.stack(dists) if dists else
                         jnp.zeros((0,)), pseudo_label)
 
-            self._cache_put(key, jax.jit(episode), pin=model)
+            self._cache_put(key, jax.jit(episode),
+                            pin=(model, transforms))
         return self._cache_get(key)
 
     def _get_pgd_step(self, model, optimize_flags, step_sizes, use_anatomy,
@@ -733,11 +740,12 @@ class ComposeAdversarialTransformSolver:
                bool(use_anatomy), float(anatomy_reg_weight),
                tuple(data_shape),
                tuple(t.power_iteration for t in self.chain_of_transforms),
-               tuple(type(t).__name__ for t in self.chain_of_transforms))
+               self._chain_cache_key())
         if self._cache_get(key) is None:
             self._cache_put(key, self._build_pgd_step(
                 model, optimize_flags, step_sizes, use_anatomy,
-                anatomy_reg_weight), pin=model)
+                anatomy_reg_weight),
+                pin=(model, tuple(self.chain_of_transforms)))
         return self._cache_get(key)
 
     def compute_transform_grads(self, data, model, init_output=None,
@@ -761,8 +769,7 @@ class ComposeAdversarialTransformSolver:
         if init_output is None:
             init_output = self.get_init_output(data=data, model=model)
         key = ("transform_grads", self._model_cache_key(model), flags,
-               tuple(data.shape),
-               tuple(type(t).__name__ for t in self.chain_of_transforms))
+               tuple(data.shape), self._chain_cache_key())
         if self._cache_get(key) is None:
             transforms = tuple(self.chain_of_transforms)
 
@@ -808,7 +815,8 @@ class ComposeAdversarialTransformSolver:
                 opt_params = tuple(p for p, f in zip(params, flags) if f)
                 return jax.value_and_grad(dist_fn)(opt_params)
 
-            self._cache_put(key, jax.jit(grads_fn), pin=model)
+            self._cache_put(key, jax.jit(grads_fn),
+                            pin=(model, tuple(self.chain_of_transforms)))
         params = tuple(t.param for t in self.chain_of_transforms)
         dist, gs = self._cache_get(key)(
             params, jax.lax.stop_gradient(data), init_output,

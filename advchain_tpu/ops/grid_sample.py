@@ -3,7 +3,8 @@
 TPU-native replacement for the cuDNN-backed ``torch.nn.functional.grid_sample``
 the reference leans on everywhere (reference: advchain/augmentor/adv_affine.py:303-313,
 advchain/augmentor/adv_morph.py:546-557, adv_morph.py:179-202).  Semantics match
-PyTorch exactly (validated against torch CPU in tests/test_grid_sample.py):
+PyTorch exactly (validated against torch CPU in tests/test_ops_parity.py and
+tests/test_kernels.py):
 
 * ``align_corners=True``: grid value -1/+1 maps to the *centers* of the corner
   pixels, i.e. unnormalized coordinate ``(g + 1) / 2 * (size - 1)``.
@@ -176,7 +177,11 @@ def stencil_warp_2d(img, grid, radius: int):
     grid flow through native autodiff (no custom VJP needed).
     """
     n, c, h, w = img.shape
-    f = img.dtype
+    # coordinate/weight math in f32 regardless of img.dtype: in bf16 the
+    # pixel-coordinate error is up to ~h*2^-9 px (~0.4 px at h=192), which
+    # silently breaks the caller-guaranteed radius bound and drops weight
+    # mass; accumulate in f32, cast back at the end (advisor round-3)
+    f = jnp.promote_types(img.dtype, jnp.float32)
     xpix = (grid[..., 0].astype(f) + 1.0) * 0.5 * (w - 1)  # (N, Ho=H, Wo=W)
     ypix = (grid[..., 1].astype(f) + 1.0) * 0.5 * (h - 1)
     y0 = jnp.floor(ypix)
@@ -204,8 +209,8 @@ def stencil_warp_2d(img, grid, radius: int):
         wy = wys[r + R][:, None]
         for s in range(-R, R + 1):
             tap = imgp[:, :, R + r:R + r + h, R + s:R + s + w]
-            out = out + (wy * wxs[s + R][:, None]) * tap
-    return out
+            out = out + (wy * wxs[s + R][:, None]) * tap.astype(f)
+    return out.astype(img.dtype)
 
 
 def grid_sample_2d(x, grid, mode: str = "bilinear", padding_mode: str = "zeros",
@@ -307,7 +312,9 @@ def stencil_warp_3d(img, grid, radius: int):
     shifts with spatially-varying separable weights; grid channel order is
     torch's (x=W, y=H, z=D)."""
     n, c, d, h, w = img.shape
-    f = img.dtype
+    # f32 coordinate/weight math + accumulation regardless of img.dtype
+    # (see stencil_warp_2d)
+    f = jnp.promote_types(img.dtype, jnp.float32)
     xpix = (grid[..., 0].astype(f) + 1.0) * 0.5 * (w - 1)  # (N, D, H, W)
     ypix = (grid[..., 1].astype(f) + 1.0) * 0.5 * (h - 1)
     zpix = (grid[..., 2].astype(f) + 1.0) * 0.5 * (d - 1)
@@ -342,8 +349,8 @@ def stencil_warp_3d(img, grid, radius: int):
             py = pz[:, :, :, R + ty:R + ty + h]
             for tx in range(-R, R + 1):
                 tap = py[:, :, :, :, R + tx:R + tx + w]
-                out = out + (wzy * wxs[tx + R][:, None]) * tap
-    return out
+                out = out + (wzy * wxs[tx + R][:, None]) * tap.astype(f)
+    return out.astype(img.dtype)
 
 
 def grid_sample_3d(x, grid, mode: str = "bilinear", padding_mode: str = "zeros",

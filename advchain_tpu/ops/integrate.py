@@ -13,6 +13,8 @@ nested grid-samples).
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 from jax import lax
@@ -55,7 +57,6 @@ def _stencil_enabled() -> bool:
     predicate deadlock in rendezvous (observed on the virtual 8-device
     CPU mesh).  Spatially-sharded steps take the sampler path, whose
     shard_map wrappers are mesh-aware."""
-    import os
     from .grid_sample import _SPATIAL_MESH
     if _SPATIAL_MESH is not None:
         return False

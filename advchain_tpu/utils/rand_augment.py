@@ -28,8 +28,15 @@ from advchain_tpu.ops.conv import conv_same
 __all__ = ["MyRandAugment", "apply_op"]
 
 
-def _affine_pixel_warp(img, matrix_fn, interp="nearest"):
-    """Warp NCHW by a pixel-space inverse map (x_src, y_src) = f(x, y)."""
+def _affine_pixel_warp(img, matrix_fn, interp="nearest", fill=None):
+    """Warp NCHW by a pixel-space inverse map (x_src, y_src) = f(x, y).
+
+    ``fill`` (scalar or per-channel sequence, image scale) sets the value
+    of out-of-view pixels, matching torchvision's ``fill=`` on the
+    geometric functional ops (reference my_rand_augment.py:27-90,164-167).
+    Implemented by the shift-to-zero-background trick (subtract fill,
+    sample with zeros padding, add back — same device program shape as the
+    default path; cf. augmentor/affine.py's 'lowest' padding)."""
     n, c, h, w = img.shape
     ys, xs = jnp.meshgrid(jnp.arange(h, dtype=jnp.float32),
                           jnp.arange(w, dtype=jnp.float32), indexing="ij")
@@ -38,8 +45,17 @@ def _affine_pixel_warp(img, matrix_fn, interp="nearest"):
     gy = 2.0 * sy / max(h - 1, 1) - 1.0
     grid = jnp.broadcast_to(jnp.stack([gx, gy], axis=-1)[None],
                             (n, h, w, 2))
-    return grid_sample_2d(img, grid, mode=interp, padding_mode="zeros",
-                          align_corners=True)
+    fv = None
+    if fill is not None:
+        fv = jnp.asarray(fill, jnp.float32).reshape(1, -1, 1, 1)
+        assert fv.shape[1] in (1, c), \
+            f"fill must be scalar or {c}-channel, got {fv.shape[1]} values"
+        img = img - fv
+    out = grid_sample_2d(img, grid, mode=interp, padding_mode="zeros",
+                         align_corners=True)
+    if fv is not None:
+        out = out + fv
+    return out
 
 
 def _blend(img1, img2, ratio):
@@ -53,24 +69,28 @@ def _grayscale(img):
     return jnp.mean(img, axis=1, keepdims=True)
 
 
-def apply_op(img, op_name: str, magnitude: float, interp: str = "nearest"):
-    """Apply one RandAugment op to a float NCHW image in [0, 1]."""
+def apply_op(img, op_name: str, magnitude: float, interp: str = "nearest",
+             fill=None):
+    """Apply one RandAugment op to a float NCHW image in [0, 1].
+
+    ``fill`` affects only the geometric ops (shear/translate/rotate), as in
+    torchvision (reference my_rand_augment.py:27-90)."""
     h, w = img.shape[2], img.shape[3]
     if op_name == "Identity":
         return img
     if op_name == "ShearX":
         # torchvision shears about center=[0,0] with tan(shear) = magnitude
         return _affine_pixel_warp(
-            img, lambda x, y: (x + magnitude * y, y), interp)
+            img, lambda x, y: (x + magnitude * y, y), interp, fill)
     if op_name == "ShearY":
         return _affine_pixel_warp(
-            img, lambda x, y: (x, y + magnitude * x), interp)
+            img, lambda x, y: (x, y + magnitude * x), interp, fill)
     if op_name == "TranslateX":
         t = float(int(magnitude))
-        return _affine_pixel_warp(img, lambda x, y: (x - t, y), interp)
+        return _affine_pixel_warp(img, lambda x, y: (x - t, y), interp, fill)
     if op_name == "TranslateY":
         t = float(int(magnitude))
-        return _affine_pixel_warp(img, lambda x, y: (x, y - t), interp)
+        return _affine_pixel_warp(img, lambda x, y: (x, y - t), interp, fill)
     if op_name == "Rotate":
         ang = math.radians(magnitude)
         cx, cy = (w - 1) / 2.0, (h - 1) / 2.0
@@ -80,7 +100,7 @@ def apply_op(img, op_name: str, magnitude: float, interp: str = "nearest"):
             dx, dy = x - cx, y - cy
             return cx + cos * dx - sin * dy, cy + sin * dx + cos * dy
 
-        return _affine_pixel_warp(img, rot, interp)
+        return _affine_pixel_warp(img, rot, interp, fill)
     if op_name == "Brightness":
         return _blend(img, jnp.zeros_like(img), 1.0 + magnitude)
     if op_name == "Color":
@@ -196,7 +216,8 @@ class MyRandAugment:
             self.op_name = seq[-1][0]
             self.magnitude_state = seq[-1][1]
         for op_name, magnitude in seq:
-            img = apply_op(img, op_name, magnitude, interp=interp)
+            img = apply_op(img, op_name, magnitude, interp=interp,
+                           fill=self.fill)
         return img
 
     __call__ = forward

@@ -88,6 +88,29 @@ def test_stencil_warp_2d_matches_torch(rng, radius):
     np.testing.assert_allclose(g_ours, gt.grad.numpy(), atol=1e-3)
 
 
+def test_stencil_warp_2d_bf16_input_keeps_f32_coords(rng):
+    """Coordinate/weight math must run in f32 even for bf16 images: bf16
+    pixel coordinates err by up to ~h*2^-9 px, breaking the radius bound
+    and dropping weight mass (advisor round-3).  The bf16 result must match
+    the f32 result to bf16 output-rounding only (~4e-3 relative)."""
+    from advchain_tpu.ops.grid_sample import stencil_warp_2d
+    from advchain_tpu.ops.integrate import base_grid
+
+    n, c, h, w = 1, 2, 192, 160
+    x = _rand(rng, n, c, h, w)
+    upx = (rng.rand(n, 2, h, w).astype(np.float32) * 2 - 1) * 0.9
+    scale = np.asarray([2.0 / (w - 1), 2.0 / (h - 1)],
+                       np.float32).reshape(1, 2, 1, 1)
+    grid = np.moveaxis(np.asarray(base_grid(n, (h, w))) + upx * scale, 1, -1)
+
+    f32 = np.asarray(stencil_warp_2d(jnp.asarray(x), jnp.asarray(grid), 1))
+    out_bf16 = stencil_warp_2d(jnp.asarray(x, jnp.bfloat16),
+                               jnp.asarray(grid), 1)
+    assert out_bf16.dtype == jnp.bfloat16
+    np.testing.assert_allclose(np.asarray(out_bf16, np.float32), f32,
+                               atol=2e-2)
+
+
 def test_stencil_warp_3d_matches_torch(rng):
     """3D analogue: trilinear border warp for sub-voxel displacements."""
     from advchain_tpu.ops.grid_sample import stencil_warp_3d
@@ -108,11 +131,10 @@ def test_stencil_warp_3d_matches_torch(rng):
     np.testing.assert_allclose(ours, theirs, atol=TOL)
 
 
-def test_compose_flow_stencil_dispatch_equivalence(rng):
+def test_compose_flow_stencil_dispatch_equivalence(rng, monkeypatch):
     """compose_flow's lax.cond dispatch is a pure perf fork: pinned-off
     (ADVCHAIN_STENCIL=0) and default paths agree to f32-compounding noise
     through a full 8-step scaling-and-squaring exponentiation."""
-    import os
     from advchain_tpu.ops import integrate
 
     duv2 = jnp.asarray(0.08 * rng.randn(2, 2, 21, 23).astype(np.float32))
@@ -120,13 +142,10 @@ def test_compose_flow_stencil_dispatch_equivalence(rng):
     on2 = integrate.exponentiate_flow(duv2, nb_steps=8, method="ss")
     on3 = integrate.exponentiate_flow(duv3, nb_steps=8, method="ss",
                                       adaptive=True)
-    os.environ["ADVCHAIN_STENCIL"] = "0"
-    try:
-        off2 = integrate.exponentiate_flow(duv2, nb_steps=8, method="ss")
-        off3 = integrate.exponentiate_flow(duv3, nb_steps=8, method="ss",
-                                           adaptive=True)
-    finally:
-        del os.environ["ADVCHAIN_STENCIL"]
+    monkeypatch.setenv("ADVCHAIN_STENCIL", "0")
+    off2 = integrate.exponentiate_flow(duv2, nb_steps=8, method="ss")
+    off3 = integrate.exponentiate_flow(duv3, nb_steps=8, method="ss",
+                                       adaptive=True)
     assert float(jnp.max(jnp.abs(on2 - off2))) < 1e-4
     assert float(jnp.max(jnp.abs(on3 - off3))) < 1e-4
 

@@ -256,13 +256,17 @@ def test_cardiac_2d_n_iter1_parity(cardiac_image):
     assert mean_dev < 1e-2 and frac < 0.10, (mean_dev, frac)
     print(f"dist: ref {ref['dist']:.6f} ours {ours['dist']:.6f}")
     rel = abs(ref["dist"] - ours["dist"]) / (abs(ref["dist"]) + 1e-12)
-    assert rel < 0.25, (ref["dist"], ours["dist"])
-    # statistical bound over independent inits: the single-seed 0.25 cap
+    # per-seed hard cap: 0.12 ~ 2x the measured max across 5 seeds (see
+    # below) so a real regression trips it (round-3 verdict item 8;
+    # previously a loose 0.25)
+    assert rel < 0.12, (ref["dist"], ours["dist"])
+    # statistical bound over independent inits: the single-seed 0.12 cap
     # above stays a hard per-seed limit; across seeds the solves must be
     # equivalent in strength on average (median rel deviation < 0.1).
     # Measured 2026-08-19 (seeds 42/7/13/99/2024): rel deviations
-    # [0.0032, 0.0248, 0.0369, 0.0525, 0.0490], median 0.0369 — the
-    # morph floor-flip DIVERGENCE (note above), not a systematic bias.
+    # [0.0032, 0.0248, 0.0369, 0.0525, 0.0490], median 0.0369, max
+    # 0.0525 — the morph floor-flip DIVERGENCE (note above), not a
+    # systematic bias.
     rels = [rel]
     for seed in (7, 13, 99, 2024):
         params_s, ref_s = _run_reference(cardiac_image, n_iter=1, seed=seed)
@@ -271,7 +275,7 @@ def test_cardiac_2d_n_iter1_parity(cardiac_image):
              / (abs(ref_s["dist"]) + 1e-12))
         print(f"seed {seed}: dist ref {ref_s['dist']:.6f} "
               f"ours {ours_s['dist']:.6f} rel {r:.4f}")
-        assert r < 0.25, (seed, ref_s["dist"], ours_s["dist"])
+        assert r < 0.12, (seed, ref_s["dist"], ours_s["dist"])
         rels.append(r)
     med = float(np.median(rels))
     print(f"dist rel deviations {['%.4f' % r for r in rels]} median {med:.4f}")

@@ -463,6 +463,121 @@ def test_misoverlap_program_not_reused_across_chain_swap():
     assert np.isfinite(s1) and np.isfinite(s2)
 
 
+def _bias_chain(epsilon=0.3, space="log"):
+    return [AdvBias(config_dict={"epsilon": epsilon,
+                                 "control_point_spacing": [16, 16],
+                                 "downscale": 2, "data_size": SIZE,
+                                 "interpolation_order": 3,
+                                 "init_mode": "random", "space": space},
+                    seed=42)]
+
+
+def test_episode_program_not_reused_across_chain_swap():
+    """Reassigning chain_of_transforms with a same-typed, same-shaped but
+    differently-configured transform must rebuild the cached episode
+    program (round-3 verdict item 1; closure captures the objects)."""
+    data = make_data()
+    model = make_model()
+    tiny = AdvNoise(config_dict={"epsilon": 1e-6, "xi": 1e-6,
+                                 "data_size": SIZE}, seed=40)
+    solver = ComposeAdversarialTransformSolver(
+        chain_of_transforms=[tiny], divergence_types=["mse"],
+        divergence_weights=[1.0])
+    solver.adversarial_training(data=data, model=model, n_iter=0)
+    dev_tiny = float(jnp.max(jnp.abs(solver.adv_data - data)))
+    # same type, same data_size, same program key shape — only epsilon differs
+    solver.chain_of_transforms = [
+        AdvNoise(config_dict={"epsilon": 0.5, "xi": 1e-6,
+                              "data_size": SIZE}, seed=41)]
+    solver.adversarial_training(data=data, model=model, n_iter=0)
+    dev_big = float(jnp.max(jnp.abs(solver.adv_data - data)))
+    assert dev_big > 100 * max(dev_tiny, 1e-12), (
+        f"stale episode program: eps=0.5 deviation {dev_big} vs eps=1e-6 "
+        f"deviation {dev_tiny}")
+
+
+def test_init_all_program_not_reused_across_chain_swap():
+    """Bias init bounds depend on epsilon; a chain swap must not draw inits
+    from a stale program's bounds (round-3 verdict item 1)."""
+    solver = ComposeAdversarialTransformSolver(
+        chain_of_transforms=_bias_chain(epsilon=0.5),
+        divergence_types=["mse"], divergence_weights=[1.0])
+    solver.init_random_transformation()
+    big = float(jnp.max(jnp.abs(solver.chain_of_transforms[0].param)))
+    solver.chain_of_transforms = _bias_chain(epsilon=0.01)
+    solver.init_random_transformation()
+    small = float(jnp.max(jnp.abs(solver.chain_of_transforms[0].param)))
+    # log-space bounds: eps=0.01 -> |cp| <= |log(0.99)| ~ 0.01005
+    assert small <= 0.0101, f"stale init_all program: |param|={small}"
+    assert big > 0.05, f"sanity: eps=0.5 init too small ({big})"
+
+
+def test_project_all_program_not_reused_across_chain_swap():
+    """Projection bounds depend on epsilon; a chain swap must not clamp to
+    a stale program's bounds (round-3 verdict item 1)."""
+    solver = ComposeAdversarialTransformSolver(
+        chain_of_transforms=_bias_chain(epsilon=0.5),
+        divergence_types=["mse"], divergence_weights=[1.0])
+    cp_shape = solver.chain_of_transforms[0].cp_grid
+    raw = jnp.full(cp_shape, 0.3)
+    out1 = solver._get_project_all_fn([True])((raw,))[0]
+    assert float(jnp.max(jnp.abs(out1))) > 0.2  # inside eps=0.5 bounds
+    solver.chain_of_transforms = _bias_chain(epsilon=0.01)
+    out2 = solver._get_project_all_fn([True])((raw,))[0]
+    assert float(jnp.max(out2)) <= 0.01, (
+        f"stale project_all program: max={float(jnp.max(out2))}")
+
+
+def test_final_loss_program_not_reused_across_chain_swap():
+    """log vs linear bias space changes the traced final-loss program but
+    not the param shapes; a chain swap must rebuild it
+    (round-3 verdict item 1)."""
+    data = make_data()
+    model = make_model()
+    solver = ComposeAdversarialTransformSolver(
+        chain_of_transforms=_bias_chain(space="log"),
+        divergence_types=["mse"], divergence_weights=[1.0])
+    cp_shape = solver.chain_of_transforms[0].cp_grid
+    params = (jnp.full(cp_shape, 0.3),)
+    init_output = solver.get_init_output(model, data)
+    fn1 = solver._get_final_loss_fn(model, data.shape)
+    _, adv1, _, _ = fn1(params, data, init_output)
+    solver.chain_of_transforms = _bias_chain(space="linear")
+    fn2 = solver._get_final_loss_fn(model, data.shape)
+    _, adv2, _, _ = fn2(params, data, init_output)
+    # exp(field) != 1 + field; a stale (reused) program would give
+    # bitwise-identical outputs on identical inputs, so any clearly
+    # nonzero gap proves the rebuild (smoothing attenuates |field| to
+    # ~0.03 here, so exp-vs-linear differs by ~field^2/2 ~ 5e-4)
+    assert float(jnp.max(jnp.abs(adv1 - adv2))) > 1e-5, (
+        "stale final-loss program reused across log->linear chain swap")
+
+
+def test_pgd_step_and_grads_programs_not_reused_across_chain_swap():
+    """_get_pgd_step and compute_transform_grads close over the transform
+    objects — chain swaps must rebuild both (round-3 verdict item 1)."""
+    data = make_data()
+    model = make_model()
+    solver = ComposeAdversarialTransformSolver(
+        chain_of_transforms=_bias_chain(space="log"),
+        divergence_types=["mse"], divergence_weights=[1.0])
+    init_output = solver.get_init_output(model, data)
+    fn1 = solver._get_pgd_step(model, [True], [1.0], False, 50.0, data.shape)
+    cp_shape = solver.chain_of_transforms[0].cp_grid
+    solver.chain_of_transforms[0].set_parameters(jnp.full(cp_shape, 0.1))
+    _, g1 = solver.compute_transform_grads(data, model,
+                                           init_output=init_output)
+    solver.chain_of_transforms = _bias_chain(space="linear")
+    fn2 = solver._get_pgd_step(model, [True], [1.0], False, 50.0, data.shape)
+    assert fn1 is not fn2, "stale PGD-step program reused"
+    solver.chain_of_transforms[0].set_parameters(jnp.full(cp_shape, 0.1))
+    _, g2 = solver.compute_transform_grads(data, model,
+                                           init_output=init_output)
+    assert not np.allclose(np.asarray(g1[0]), np.asarray(g2[0]),
+                           atol=1e-9), \
+        "stale transform-grads program reused across log->linear chain swap"
+
+
 def test_morph_remat_false_rejected():
     """AdvMorph(remat=False) must error, not silently fall back to 'auto'."""
     with pytest.raises(AssertionError):

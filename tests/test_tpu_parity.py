@@ -146,23 +146,19 @@ def test_sampler_3d_grads_match_xla_on_device(rng):
     np.testing.assert_allclose(np.asarray(ga), np.asarray(gb), atol=1e-3)
 
 
-def test_stencil_dispatch_on_device_matches_band(rng):
+def test_stencil_dispatch_on_device_matches_band(rng, monkeypatch):
     """compose_flow's sub-pixel stencil fast path vs the pinned-off band
     kernel path ON DEVICE, through a full 8-step exponentiation — the two
     branches must agree to f32-compounding noise (each step's rounding
     roughly doubles; <1e-4 observed)."""
-    import os
     from advchain_tpu.ops import integrate
 
     duv = jnp.asarray(0.06 * rng.randn(4, 2, 96, 96).astype(np.float32))
     on = np.asarray(integrate.exponentiate_flow(duv, nb_steps=8,
                                                 method="ss"))
-    os.environ["ADVCHAIN_STENCIL"] = "0"
-    try:
-        off = np.asarray(integrate.exponentiate_flow(duv, nb_steps=8,
-                                                     method="ss"))
-    finally:
-        del os.environ["ADVCHAIN_STENCIL"]
+    monkeypatch.setenv("ADVCHAIN_STENCIL", "0")
+    off = np.asarray(integrate.exponentiate_flow(duv, nb_steps=8,
+                                                 method="ss"))
     assert float(np.max(np.abs(on - off))) < 1e-4
 
 
