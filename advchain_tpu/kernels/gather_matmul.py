@@ -88,7 +88,6 @@ def _interpret() -> bool:
 def _band_enabled() -> bool:
     """Trace-time escape hatch: ADVCHAIN_BAND_KERNEL=0 pins the 2D sampler
     to the chunk kernels (A/B benchmarking; programs cache per value)."""
-    import os
     return os.environ.get("ADVCHAIN_BAND_KERNEL", "1") != "0"
 
 
@@ -759,7 +758,13 @@ def _band_rb(kc: int) -> int:
     (measured: warp c=2 37.8->45.6 ms, ss8 fwd+bwd 190->200 ms)."""
     ov = os.environ.get("ADVCHAIN_BAND_RB")
     if ov:
-        return int(ov)
+        rb = int(ov)
+        # band segments start at 8-aligned rows and the kernel promises
+        # pl.multiple_of(rlo8 + si*rb, 8) — a non-multiple-of-8 override
+        # would be a false alignment promise (silent wrong results)
+        assert rb > 0 and rb % 8 == 0, \
+            f"ADVCHAIN_BAND_RB must be a positive multiple of 8, got {rb}"
+        return rb
     return 16
 
 
@@ -925,6 +930,265 @@ def band_scatter(g, yidx, xidx, h: int, w: int):
     return dimg
 
 
+# ------------------------------------------- 3D (z, y)-band trilinear path
+#
+# The plane kernels sweep a per-(z, chunk) one-hot over 512-lane windows:
+# at 10-deg rotation a blocked (1, 8, 64) tile still sweeps ~16 blocks of
+# 16 MXU tiles each for 512 outputs (round-4 device trace: plane gathers
+# sustain 2-16 GB/s operand bandwidth and own ~77% of the 3D episode).
+# The z-band kernel is band_gather lifted to 3D: one x one-hot (PT, Wp)
+# built per tile and shared across every (z, y-band) block; each block is
+# ONE (3*2C*RB, Wp) x (PT, Wp) matmul over a contiguous y band of one z
+# plane, and the (z0/z1, y0/y1) tap choice is 4 cheap VPU row selects.
+# Blocks per tile ~ zrange * ceil(yspan/RB) ~ 2-4 at 10 deg (vs ~16), each
+# 8 MXU tiles (vs 16): ~10x less MXU sweep for rotated c=1 volume warps.
+
+_ZRB = 16  # y rows per band segment (sublane-aligned)
+
+
+def _zband_budget() -> int:
+    ov = os.environ.get("ADVCHAIN_ZBAND_BUDGET")
+    return int(ov) if ov else 6 * 1024 * 1024
+
+
+def _zband_dims(c: int, d: int, h: int, w: int):
+    hp = -(-(h + _ZRB) // 8) * 8
+    wp = -(-w // 128) * 128
+    return hp, wp, 2 * c * d * hp * wp * 4
+
+
+def _zband_groups(c: int, d: int, h: int, w: int):
+    """Channel groups whose K=2 x-shifted (2C, D, Hp, Wp) stack fits the
+    z-band VMEM budget; None when even one channel does not fit."""
+    hp, wp, _ = _zband_dims(1, d, h, w)
+    per_c = 2 * d * hp * wp * 4
+    budget = _zband_budget()
+    if per_c > budget:
+        return None
+    cg = min(c, budget // per_c)
+    n_groups = -(-c // cg)
+    size = -(-c // n_groups)
+    return [(i, min(size, c - i)) for i in range(0, c, size)]
+
+
+def _zband_pack(img, rb):
+    """(N, C, D, H, W) -> (N, 2C, D, Hp, Wp): K=2 x-shifted copies; rows
+    padded per plane so any RB band starting at an 8-aligned row
+    <= max(y)+1 stays inside its plane; columns padded to the lane tile."""
+    n, c, d, h, w = img.shape
+    hp, wp, _ = _zband_dims(c, d, h, w)
+    img_p = jnp.pad(img, ((0, 0), (0, 0), (0, 0), (0, hp - h),
+                          (0, wp + 1 - w)))
+    img_k = jnp.stack([img_p[..., 0:wp], img_p[..., 1:wp + 1]], axis=1)
+    return img_k.reshape(n, 2 * c, d, hp, wp), hp, wp
+
+
+def _zband_tiles(zidx, yidx, xidx):
+    """Pad to _PT and tile; z/y pad -1 (excluded from band minima; their
+    +1-tap matches gather garbage into sliced-off outputs only)."""
+    n = zidx.shape[0]
+    z_p, p_orig = _pad_to(zidx, _PT, axis=1, value=-1)
+    y_p, _ = _pad_to(yidx, _PT, axis=1, value=-1)
+    x_p, _ = _pad_to(xidx, _PT, axis=1)
+    t = z_p.shape[1] // _PT
+    return (z_p.reshape(n, t, 1, _PT), y_p.reshape(n, t, 1, _PT),
+            x_p.reshape(n, t, 1, _PT), t, p_orig)
+
+
+def _zband_zrange(zp, d):
+    """z loop bounds covering both z taps; empty for all-padding tiles."""
+    zlo = jnp.minimum(jnp.min(jnp.where(zp < 0, jnp.int32(2 ** 30), zp)),
+                      jnp.int32(d))
+    zhi = jnp.minimum(jnp.max(zp) + 2, jnp.int32(d))
+    return zlo, jnp.maximum(zhi - zlo, 0)
+
+
+@functools.partial(jax.jit, static_argnames=())
+def zband_gather(img, zidx, yidx, xidx):
+    """img: (N, C, D, H, W); z/y/xidx: (N, P) int32 clipped bases; returns
+    vals (N, 8, C, P) at the 8 trilinear corners in (dz, dy, dx) binary
+    order, zero past D/H/W (call sites fold collapsed-tap weights)."""
+    n, c, d, h, w = img.shape
+    kc = 2 * c
+    rb = _ZRB
+    img_k, hp, wp = _zband_pack(img, rb)
+    z4, y4, x4, n_tiles, p_orig = _zband_tiles(zidx, yidx, xidx)
+
+    def kernel(z_ref, y_ref, x_ref, img_ref, out_ref):
+        zp = z_ref[0, 0, 0, :]
+        yp = y_ref[0, 0, 0, :]
+        xp = x_ref[0, 0, 0, :]
+        lane = jax.lax.broadcasted_iota(jnp.int32, (_PT, wp), 1)
+        oh = (xp[:, None] == lane).astype(jnp.bfloat16)
+        rlo8, nseg = _band_ranges(yp, rb)
+        zlo, nz = _zband_zrange(zp, d)
+        total = nz * jnp.maximum(nseg, 0)
+        nsg = jnp.maximum(nseg, 1)  # div-safe (total==0 skips the loop)
+
+        def blk(t, accs):
+            a00, a01, a10, a11 = accs
+            z = zlo + t // nsg
+            si = jax.lax.rem(t, nsg)
+            base = pl.multiple_of(rlo8 + si * rb, 8)
+            band = img_ref[0, :, z, pl.ds(base, rb), :]  # (KC, RB, Wp)
+            r = _dot_f32(band.reshape(kc * rb, wp), oh,
+                         (((1,), (1,)), ((), ())))  # (KC*RB, PT)
+            r3 = r.reshape(kc, rb, _PT)
+            rowi = base + jax.lax.broadcasted_iota(jnp.int32, (rb, _PT), 0)
+            sy0 = (yp[None, :] == rowi)
+            sy1 = (yp[None, :] + 1 == rowi)
+            sz0 = (zp == z)[None, :]
+            sz1 = (zp + 1 == z)[None, :]
+            s00 = (sy0 & sz0).astype(jnp.float32)
+            s01 = (sy1 & sz0).astype(jnp.float32)
+            s10 = (sy0 & sz1).astype(jnp.float32)
+            s11 = (sy1 & sz1).astype(jnp.float32)
+            return (a00 + jnp.sum(r3 * s00[None], axis=1),
+                    a01 + jnp.sum(r3 * s01[None], axis=1),
+                    a10 + jnp.sum(r3 * s10[None], axis=1),
+                    a11 + jnp.sum(r3 * s11[None], axis=1))
+
+        zero = jnp.zeros((kc, _PT), jnp.float32)
+        a00, a01, a10, a11 = jax.lax.fori_loop(
+            0, total, blk, (zero, zero, zero, zero))
+        # rows: (z-tap, y-tap, x-shift, C) major to minor
+        out_ref[0, 0] = jnp.concatenate([a00, a01, a10, a11], axis=0)
+
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((n, n_tiles, 8 * c, _PT),
+                                       jnp.float32),
+        grid=(n, n_tiles),
+        in_specs=[
+            pl.BlockSpec((1, 1, 1, _PT), lambda i, j: (i, j, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1, _PT), lambda i, j: (i, j, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1, _PT), lambda i, j: (i, j, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, kc, d, hp, wp), lambda i, j: (i, 0, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 1, 8 * c, _PT), lambda i, j: (i, j, 0, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=_interpret(),
+    )(z4, y4, x4, img_k)
+    # (N, T, [ztap, ytap, xshift, C], PT) -> (N, 8, C, P), (dz, dy, dx) order
+    out = out.reshape(n, n_tiles, 2, 2, 2, c, _PT)
+    out = jnp.moveaxis(out, 1, 5)  # (N, zt, yt, xs, C, T, PT)
+    return out.reshape(n, 8, c, n_tiles * _PT)[..., :p_orig]
+
+
+@functools.partial(jax.jit, static_argnames=("d", "h", "w"))
+def zband_scatter(g, zidx, yidx, xidx, d: int, h: int, w: int):
+    """Transpose of zband_gather: g (N, 8, C, P) in (dz, dy, dx) corner
+    order -> dimg (N, C, D, H, W).  Contributions past D/H/W (collapsed
+    taps; zero weights) drop."""
+    n, eight, c, p0 = g.shape
+    assert eight == 8
+    kc = 2 * c
+    rb = _ZRB
+    hp, wp, _ = _zband_dims(c, d, h, w)
+    z4, y4, x4, n_tiles, _ = _zband_tiles(zidx, yidx, xidx)
+    g_r = g.reshape(n, 8 * c, p0)
+    g_r, _ = _pad_to(g_r, _PT, axis=2)
+    g_r = jnp.moveaxis(g_r.reshape(n, 8 * c, n_tiles, _PT), 1, 2)
+
+    def kernel(z_ref, y_ref, x_ref, g_ref, out_ref):
+        j = pl.program_id(1)
+
+        @pl.when(j == 0)
+        def _():
+            out_ref[0] = jnp.zeros((kc, d, hp, wp), jnp.float32)
+
+        zp = z_ref[0, 0, 0, :]
+        yp = y_ref[0, 0, 0, :]
+        xp = x_ref[0, 0, 0, :]
+        lane = jax.lax.broadcasted_iota(jnp.int32, (_PT, wp), 1)
+        oh = (xp[:, None] == lane).astype(jnp.bfloat16)
+        rlo8, nseg = _band_ranges(yp, rb)
+        zlo, nz = _zband_zrange(zp, d)
+        total = nz * jnp.maximum(nseg, 0)
+        nsg = jnp.maximum(nseg, 1)
+        gt = g_ref[0, 0]  # (8C, PT): (ztap, ytap, xshift, C) rows
+        g00, g01, g10, g11 = (gt[:kc], gt[kc:2 * kc], gt[2 * kc:3 * kc],
+                              gt[3 * kc:])
+
+        def blk(t, _):
+            z = zlo + t // nsg
+            si = jax.lax.rem(t, nsg)
+            base = pl.multiple_of(rlo8 + si * rb, 8)
+            rowi = base + jax.lax.broadcasted_iota(jnp.int32, (rb, _PT), 0)
+            sy0 = (yp[None, :] == rowi)
+            sy1 = (yp[None, :] + 1 == rowi)
+            sz0 = (zp == z)[None, :]
+            sz1 = (zp + 1 == z)[None, :]
+            gb = (g00[:, None, :] * (sy0 & sz0).astype(jnp.float32)[None]
+                  + g01[:, None, :] * (sy1 & sz0).astype(jnp.float32)[None]
+                  + g10[:, None, :] * (sy0 & sz1).astype(jnp.float32)[None]
+                  + g11[:, None, :] * (sy1 & sz1).astype(jnp.float32)[None])
+            contrib = _dot_f32(gb.reshape(kc * rb, _PT), oh,
+                               (((1,), (0,)), ((), ())))  # (KC*RB, Wp)
+            out_ref[0, :, z, pl.ds(base, rb), :] += contrib.reshape(
+                kc, rb, wp)
+            return 0
+
+        jax.lax.fori_loop(0, total, blk, 0)
+
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((n, kc, d, hp, wp), jnp.float32),
+        grid=(n, n_tiles),
+        in_specs=[
+            pl.BlockSpec((1, 1, 1, _PT), lambda i, j: (i, j, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1, _PT), lambda i, j: (i, j, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1, _PT), lambda i, j: (i, j, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 8 * c, _PT), lambda i, j: (i, j, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, kc, d, hp, wp),
+                               lambda i, j: (i, 0, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=_interpret(),
+    )(z4, y4, x4, g_r)
+    out = out.reshape(n, 2, c, d, hp, wp)
+    dimg = out[:, 0, :, :, :h, :w]
+    # the x+1 copy's column x holds the (., ., x+1) tap: shift right one
+    dimg = dimg.at[:, :, :, :, 1:].add(out[:, 1, :, :, :h, :w - 1])
+    return dimg
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def _weighted_zband_sample(img, payload, d: int, h: int, w: int):
+    """out[n,c,p] = sum_k w[n,k,p] * img[n,c, z+dz_k, y+dy_k, x+dx_k] on
+    the z-band kernels; payload = (zidx, yidx, xidx int32 (N,P), weights
+    (N,8,P)) in (dz, dy, dx) binary corner order."""
+    zidx, yidx, xidx, weights = payload
+    vals = zband_gather(img, zidx, yidx, xidx)
+    return jnp.einsum("nkp,nkcp->ncp", weights, vals)
+
+
+def _wzs_fwd(img, payload, d, h, w):
+    zidx, yidx, xidx, weights = payload
+    vals = zband_gather(img, zidx, yidx, xidx)
+    out = jnp.einsum("nkp,nkcp->ncp", weights, vals)
+    return out, (zidx, yidx, xidx, weights, vals)
+
+
+def _wzs_bwd(d, h, w, res, g):
+    zidx, yidx, xidx, weights, vals = res
+    d_weights = jnp.einsum("ncp,nkcp->nkp", g, vals)
+    g_corners = jnp.einsum("ncp,nkp->nkcp", g, weights)
+    d_img = zband_scatter(g_corners, zidx, yidx, xidx, d, h, w)
+    return d_img, (None, None, None, d_weights)
+
+
+_weighted_zband_sample.defvjp(_wzs_fwd, _wzs_bwd)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
 def _weighted_band_sample(img, payload, h: int, w: int):
     """out[n,c,p] = sum_k w[n,k,p] * img[n,c, y+dy_k, x+dx_k] on the
@@ -1020,8 +1284,14 @@ _weighted_corner_sample.defvjp(_wcs_fwd, _wcs_bwd)
 _VMEM_IMG_BUDGET = 5 * 1024 * 1024
 
 
+def _vmem_budget() -> int:
+    """Trace-time A/B knob (scripts/warp3d_bench.py)."""
+    ov = os.environ.get("ADVCHAIN_VMEM_IMG_BUDGET")
+    return int(ov) if ov else _VMEM_IMG_BUDGET
+
+
 def _fits_vmem(k: int, c: int, s: int) -> bool:
-    return k * c * s * 4 <= _VMEM_IMG_BUDGET
+    return k * c * s * 4 <= _vmem_budget()
 
 
 def _channel_groups(k: int, c: int, s: int):
@@ -1030,10 +1300,11 @@ def _channel_groups(k: int, c: int, s: int):
     stays on the Pallas path instead of falling back to XLA's pathological
     gather).  Returns a list of (start, size) or None when even one channel
     does not fit."""
+    budget = _vmem_budget()
     per_c = k * s * 4
-    if per_c > _VMEM_IMG_BUDGET:
+    if per_c > budget:
         return None
-    cg = min(c, _VMEM_IMG_BUDGET // per_c)
+    cg = min(c, budget // per_c)
     n_groups = -(-c // cg)
     size = -(-c // n_groups)  # balanced: avoids an odd-size final group
     return [(i, min(size, c - i)) for i in range(0, c, size)]
@@ -1135,8 +1406,9 @@ def grid_sample_2d_pallas(x, grid, padding_mode: str = "zeros",
 
     # row-band kernel dispatch: per channel group, the packed (2C, Hp, Wp)
     # band image must fit the VMEM budget (the band path has no streamed
-    # variant; oversized images fall back to the streamed chunk kernels)
-    hp_b = -(-(h + _RB) // 8) * 8
+    # variant; oversized images fall back to the streamed chunk kernels).
+    # Budget with the actual (possibly env-overridden) RB, not the default.
+    hp_b = -(-(h + _band_rb(2 * c)) // 8) * 8
     wp_b = -(-w // 128) * 128
     bgroups = _channel_groups(2, c, hp_b * wp_b) if _band_enabled() else None
     if bgroups is not None:
@@ -1270,6 +1542,95 @@ def _grid_sample_3d_pallas_packed(x, grid, padding_mode: str = "zeros",
     return out.reshape(n, c, do, ho, wo).astype(x.dtype)
 
 
+def _grid_sample_3d_zband(x, grid, groups, padding_mode, align_corners,
+                          tile_order):
+    """Trilinear sampler on the z-band kernels: clipped (z0, y0, x0) bases
+    + 8 folded corner weights, one kernel call per channel group."""
+    from advchain_tpu.ops.grid_sample import _prep_coord
+
+    n, c, d, h, w = x.shape
+    _, do, ho, wo, _ = grid.shape
+    p = do * ho * wo
+    blocked = (tile_order == "blocks" and do % _BPZ3 == 0
+               and ho % _BPY3 == 0 and wo % _BPX3 == 0)
+    if blocked:
+        grid = _blockify_3d(grid, do, ho, wo)
+        gx, gy, gz = grid[..., 0], grid[..., 1], grid[..., 2]
+    else:
+        gx = grid[..., 0].reshape(n, p)
+        gy = grid[..., 1].reshape(n, p)
+        gz = grid[..., 2].reshape(n, p)
+    ix = _prep_coord(gx, w, align_corners, padding_mode)
+    iy = _prep_coord(gy, h, align_corners, padding_mode)
+    iz = _prep_coord(gz, d, align_corners, padding_mode)
+    x0 = jnp.floor(ix)
+    y0 = jnp.floor(iy)
+    z0 = jnp.floor(iz)
+    fx, fy, fz = ix - x0, iy - y0, iz - z0
+
+    def inb(xi, yi, zi):
+        if padding_mode == "zeros":
+            return ((xi >= 0) & (xi <= w - 1) & (yi >= 0) & (yi <= h - 1)
+                    & (zi >= 0) & (zi <= d - 1)).astype(jnp.float32)
+        return jnp.ones_like(fx)
+
+    x0c = jnp.clip(x0, 0, w - 1)
+    y0c = jnp.clip(y0, 0, h - 1)
+    z0c = jnp.clip(z0, 0, d - 1)
+    # collapse indicators: does the clipped +1 tap differ from the base?
+    dxf = (jnp.clip(x0 + 1, 0, w - 1) - x0c).astype(jnp.float32)
+    dyf = (jnp.clip(y0 + 1, 0, h - 1) - y0c).astype(jnp.float32)
+    dzf = (jnp.clip(z0 + 1, 0, d - 1) - z0c).astype(jnp.float32)
+
+    wxs = (1 - fx, fx)
+    wys = (1 - fy, fy)
+    wzs = (1 - fz, fz)
+    raw = {}
+    for pz in (0, 1):
+        for py in (0, 1):
+            for px in (0, 1):
+                raw[(pz, py, px)] = (wzs[pz] * wys[py] * wxs[px]
+                                     * inb(x0 + px, y0 + py, z0 + pz))
+
+    def fold(tap, corner, m):
+        # tap-0 weight stays on corner 0; a collapsed +1 tap (m == 0)
+        # folds onto the base corner (same scheme as the 2D band path)
+        if tap == 0:
+            return 1.0 if corner == 0 else None
+        return m if corner == 1 else (1 - m)
+
+    corners = []
+    for a in (0, 1):
+        for b in (0, 1):
+            for cc in (0, 1):
+                acc = None
+                for (pz, py, px), wv in raw.items():
+                    fz_ = fold(pz, a, dzf)
+                    fy_ = fold(py, b, dyf)
+                    fx_ = fold(px, cc, dxf)
+                    if fz_ is None or fy_ is None or fx_ is None:
+                        continue
+                    term = wv
+                    for f in (fz_, fy_, fx_):
+                        if not (isinstance(f, float) and f == 1.0):
+                            term = term * f
+                    acc = term if acc is None else acc + term
+                corners.append(acc)
+    weights = jnp.stack(corners, axis=1).astype(jnp.float32)  # (N, 8, P)
+
+    zb = z0c.astype(jnp.int32)
+    yb = y0c.astype(jnp.int32)
+    xb = x0c.astype(jnp.int32)
+    xf32 = x.astype(jnp.float32)
+    parts = [_weighted_zband_sample(xf32[:, i:i + sz],
+                                    (zb, yb, xb, weights), d, h, w)
+             for i, sz in groups]
+    out = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=1)
+    if blocked:
+        return _deblockify_3d(out, do, ho, wo).astype(x.dtype)
+    return out.reshape(n, c, do, ho, wo).astype(x.dtype)
+
+
 @functools.partial(jax.jit, static_argnames=("padding_mode", "align_corners",
                                              "tile_order"))
 def grid_sample_3d_pallas(x, grid, padding_mode: str = "zeros",
@@ -1298,6 +1659,15 @@ def grid_sample_3d_pallas(x, grid, padding_mode: str = "zeros",
     n, c, d, h, w = x.shape
     _, do, ho, wo, three = grid.shape
     assert three == 3
+    # z-band path (round 4): one x one-hot per tile shared across every
+    # (z, y-band) block — ~10x less MXU sweep than the plane kernels for
+    # rotated volume warps (see the z-band section above).  Used whenever
+    # the K=2 x-shifted per-group stack fits its VMEM budget.
+    zgroups = (None if os.environ.get("ADVCHAIN_ZBAND") == "0"
+               else _zband_groups(c, d, h, w))
+    if zgroups is not None:
+        return _grid_sample_3d_zband(x, grid, zgroups, padding_mode,
+                                     align_corners, tile_order)
     hw = h * w
     hwp = -(-hw // _CH) * _CH
     groups = _channel_groups(2, c, d * hwp)
@@ -1309,6 +1679,8 @@ def grid_sample_3d_pallas(x, grid, padding_mode: str = "zeros",
     # channels as extra matmul rows, instead of being rebuilt per group
     # (4 groups x 4 bases = 16 sweeps at c=4 -> 2 sweeps).
     packed = groups is None or len(groups) > 1
+    if os.environ.get("ADVCHAIN_PLANE_PACKED_C1") == "1":  # A/B knob
+        packed = True
     if packed:
         return _grid_sample_3d_pallas_packed(x, grid, padding_mode,
                                              align_corners, tile_order)

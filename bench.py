@@ -74,6 +74,12 @@ RECORDED_TORCH_CPU_IMGS_PER_SEC = 0.996
 RECORDED_TORCH_RANDOM_CHAIN_IMGS_PER_SEC = 15.137
 RECORDED_TORCH_CONSTRAINED_SOLVE_SECONDS = 3.75  # batch 1, 3-step
 RECORDED_TORCH_3D_VOLUMES_PER_SEC = 0.0347
+# Config #5: reference-style FULL training iteration on torch-CPU
+# (adversarial_training + supervised cross_entropy_2D + Adam step — the
+# README.md:177-214 recipe; the reference ships no train loop of its own,
+# SURVEY.md §4) at CPU-friendly batch 4, normalized per image.  Measured
+# 2026-08-20 via ``python bench.py --measure-torch`` (per-rep MAX of 3).
+RECORDED_TORCH_TRAIN_STEP_IMGS_PER_SEC = 0.5214
 
 CKPT = "/root/reference/example/saved_checkpoints/cardiac_seg_unet_16.pth"
 
@@ -641,6 +647,93 @@ def bench_torch_3d(batch=2, shape3d=(12, 192, 192)):
         sys.path.pop(0)
 
 
+def bench_torch_train_step(batch=4):
+    """Reference-style FULL training iteration on torch-CPU (config #5
+    baseline): adversarial_training (4-transform chain, n_iter=1, 'smart'
+    PI) + net.zero_grad + supervised cross_entropy_2D + total-loss
+    backward + Adam step — the README.md:177-214 recipe with a fixed
+    chain.  Per-rep MAX img/s of 3 reps (favorable to the reference)."""
+    _import_torch_reference()
+    try:
+        import torch
+        torch.set_num_threads(os.cpu_count() or 8)
+        from advchain.augmentor.adv_compose_solver import \
+            ComposeAdversarialTransformSolver
+        from advchain.common.loss import cross_entropy_2D
+        from advchain.models.unet import UNet
+
+        cfg = chain_configs(batch, SHAPE)
+        solver = ComposeAdversarialTransformSolver(
+            chain_of_transforms=_torch_chain(cfg),
+            divergence_types=["mse", "contour"],
+            divergence_weights=[1.0, 0.5], use_gpu=False)
+        model = UNet(input_channel=1, num_classes=4, feature_scale=4)
+        model.load_state_dict(torch.load(CKPT, map_location="cpu"))
+        opt = torch.optim.Adam(model.parameters(), lr=1e-4)
+        data = torch.from_numpy(make_image(batch, SHAPE))
+        r = np.random.RandomState(0)
+        target = torch.from_numpy(
+            r.randint(0, 4, (batch,) + SHAPE).astype(np.int64))
+
+        def once():
+            model.zero_grad()
+            reg = solver.adversarial_training(
+                data=data, model=model, n_iter=N_ITER,
+                power_iteration="smart", step_sizes=1.0)
+            model.zero_grad()
+            output = model(data)
+            loss = cross_entropy_2D(output, target)
+            total = loss + 1.0 * reg
+            total.backward()
+            opt.step()
+
+        once()  # warm caches
+        best = 0.0
+        for _ in range(3):
+            t0 = time.perf_counter()
+            once()
+            best = max(best, batch / (time.perf_counter() - t0))
+        return best
+    finally:
+        sys.path.pop(0)
+
+
+def run_tpu_tests():
+    """Run the on-device kernel-parity suite (ADVCHAIN_TEST_TPU=1) and
+    record the result as TPU_TESTS.json — a per-round artifact so the one
+    suite that can catch device-only regressions (MXU bf16 rounding,
+    Mosaic layout changes) leaves evidence (round-3 verdict item 5)."""
+    import re
+    import subprocess
+    env = dict(os.environ, ADVCHAIN_TEST_TPU="1")
+    t0 = time.perf_counter()
+    proc = subprocess.run(
+        [sys.executable, "-m", "pytest", "tests/test_tpu_parity.py",
+         "-q", "--no-header"],
+        cwd=os.path.dirname(os.path.abspath(__file__)), env=env,
+        capture_output=True, text=True, timeout=3600)
+    seconds = time.perf_counter() - t0
+    tail = (proc.stdout or "").strip().splitlines()[-10:]
+    summary = "\n".join(tail)
+    passed = failed = skipped = 0
+    for n, word in re.findall(r"(\d+) (passed|failed|skipped|error)",
+                              summary):
+        if word == "passed":
+            passed = int(n)
+        elif word in ("failed", "error"):
+            failed += int(n)
+        elif word == "skipped":
+            skipped = int(n)
+    result = {"passed": passed, "failed": failed, "skipped": skipped,
+              "seconds": round(seconds, 1), "returncode": proc.returncode,
+              "summary_tail": tail[-1] if tail else ""}
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "TPU_TESTS.json"), "w") as f:
+        json.dump(result, f, indent=1)
+    print(json.dumps(result))
+    return proc.returncode
+
+
 def _headline_json():
     imgs_per_sec, flops, nbytes = bench_headline(with_roofline=True)
     baseline = RECORDED_TORCH_CPU_IMGS_PER_SEC
@@ -662,6 +755,8 @@ def _headline_json():
 
 
 def main():
+    if "--tpu-tests" in sys.argv:
+        sys.exit(run_tpu_tests())
     if "--measure-torch" in sys.argv:
         # one-time torch-CPU reference measurements (recorded as constants;
         # see the docstring for methodology)
@@ -671,6 +766,8 @@ def main():
                           round(bench_torch_constrained(), 2)}))
         print(json.dumps({"torch_3d_volumes_per_sec":
                           round(bench_torch_3d(), 4)}))
+        print(json.dumps({"torch_train_step_imgs_per_sec":
+                          round(bench_torch_train_step(), 4)}))
         return
     headline = _headline_json()
     print(json.dumps(headline))
@@ -702,11 +799,14 @@ def main():
          "vs_baseline": round(v4 / RECORDED_TORCH_3D_VOLUMES_PER_SEC, 2)},
         f4, b4, 2 / v4))
     v5, f5, b5 = bench_fused_train_step()
-    # no reference analogue: the reference ships no training loop
+    # baseline: reference-style full train iteration on torch-CPU
+    # (bench_torch_train_step; the reference ships no train loop, so the
+    # README recipe is the reference-side equivalent)
     lines.append(_attach_roofline(
         {"metric": "fused_adv_train_step_images_per_sec_b128",
          "value": round(v5, 2), "unit": "images/sec/chip",
-         "vs_baseline": None},
+         "vs_baseline":
+             round(v5 / RECORDED_TORCH_TRAIN_STEP_IMGS_PER_SEC, 2)},
         f5, b5, BATCH / v5))
     with open("/root/repo/BENCH_full.json", "w") as f:
         for line in lines:
