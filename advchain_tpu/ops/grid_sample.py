@@ -160,7 +160,7 @@ def _use_pallas() -> bool:
     return _on_tpu_device()
 
 
-def stencil_warp_2d(img, grid, radius: int):
+def stencil_warp_2d(img, grid, radius: int, grid_layout: str = "last"):
     """Bilinear warp (border padding, align_corners=True) specialized for
     near-identity grids: every sample must lie within ``radius`` pixels of
     its own output pixel (the CALLER guarantees this — see
@@ -175,6 +175,11 @@ def stencil_warp_2d(img, grid, radius: int):
     bilinear-with-border-clamp, so results match grid_sample_2d(...,
     padding_mode='border') to f32 rounding; gradients to both img and
     grid flow through native autodiff (no custom VJP needed).
+
+    ``grid_layout``: 'last' = (N, H, W, 2) torch convention; 'first' =
+    (N, 2, H, W) channel-first flow, sparing the caller a minor-dim
+    transpose (device trace: the moveaxis copies cost ~5% of the headline
+    episode when both cond branches shared one channel-last grid).
     """
     n, c, h, w = img.shape
     # coordinate/weight math in f32 regardless of img.dtype: in bf16 the
@@ -182,8 +187,12 @@ def stencil_warp_2d(img, grid, radius: int):
     # silently breaks the caller-guaranteed radius bound and drops weight
     # mass; accumulate in f32, cast back at the end (advisor round-3)
     f = jnp.promote_types(img.dtype, jnp.float32)
-    xpix = (grid[..., 0].astype(f) + 1.0) * 0.5 * (w - 1)  # (N, Ho=H, Wo=W)
-    ypix = (grid[..., 1].astype(f) + 1.0) * 0.5 * (h - 1)
+    if grid_layout == "first":
+        gx, gy = grid[:, 0], grid[:, 1]
+    else:
+        gx, gy = grid[..., 0], grid[..., 1]
+    xpix = (gx.astype(f) + 1.0) * 0.5 * (w - 1)  # (N, Ho=H, Wo=W)
+    ypix = (gy.astype(f) + 1.0) * 0.5 * (h - 1)
     y0 = jnp.floor(ypix)
     x0 = jnp.floor(xpix)
     fy = ypix - y0
@@ -204,12 +213,16 @@ def stencil_warp_2d(img, grid, radius: int):
     wxs = [jnp.where(dx == s, one - fx, zero) + jnp.where(dx == s - 1, fx,
                                                           zero)
            for s in range(-R, R + 1)]
+    # separable accumulation: sum_s wx_s * tap first, then one wy_r
+    # multiply per row — (2R+1)^2 + (2R+1) multiplies per output instead
+    # of 2*(2R+1)^2
     out = jnp.zeros((n, c, h, w), f)
     for r in range(-R, R + 1):
-        wy = wys[r + R][:, None]
+        inner = jnp.zeros((n, c, h, w), f)
         for s in range(-R, R + 1):
             tap = imgp[:, :, R + r:R + r + h, R + s:R + s + w]
-            out = out + (wy * wxs[s + R][:, None]) * tap.astype(f)
+            inner = inner + wxs[s + R][:, None] * tap.astype(f)
+        out = out + wys[r + R][:, None] * inner
     return out.astype(img.dtype)
 
 
@@ -304,20 +317,24 @@ def _grid_sample_2d_xla(x, grid, mode="bilinear", padding_mode="zeros",
     return out.reshape(n, c, ho, wo).astype(x.dtype)
 
 
-def stencil_warp_3d(img, grid, radius: int):
+def stencil_warp_3d(img, grid, radius: int, grid_layout: str = "last"):
     """Trilinear warp (border padding, align_corners=True) specialized for
     near-identity grids — the 3D analogue of :func:`stencil_warp_2d`:
     every sample must lie within ``radius`` voxels of its own output voxel
     (caller-guaranteed via compose_flow's lax.cond).  (2R+1)^3 static
     shifts with spatially-varying separable weights; grid channel order is
-    torch's (x=W, y=H, z=D)."""
+    torch's (x=W, y=H, z=D).  ``grid_layout`` as in stencil_warp_2d."""
     n, c, d, h, w = img.shape
     # f32 coordinate/weight math + accumulation regardless of img.dtype
     # (see stencil_warp_2d)
     f = jnp.promote_types(img.dtype, jnp.float32)
-    xpix = (grid[..., 0].astype(f) + 1.0) * 0.5 * (w - 1)  # (N, D, H, W)
-    ypix = (grid[..., 1].astype(f) + 1.0) * 0.5 * (h - 1)
-    zpix = (grid[..., 2].astype(f) + 1.0) * 0.5 * (d - 1)
+    if grid_layout == "first":
+        gx, gy, gz = grid[:, 0], grid[:, 1], grid[:, 2]
+    else:
+        gx, gy, gz = grid[..., 0], grid[..., 1], grid[..., 2]
+    xpix = (gx.astype(f) + 1.0) * 0.5 * (w - 1)  # (N, D, H, W)
+    ypix = (gy.astype(f) + 1.0) * 0.5 * (h - 1)
+    zpix = (gz.astype(f) + 1.0) * 0.5 * (d - 1)
     z0 = jnp.floor(zpix)
     y0 = jnp.floor(ypix)
     x0 = jnp.floor(xpix)
@@ -340,16 +357,19 @@ def stencil_warp_3d(img, grid, radius: int):
                 for t in range(-R, R + 1)]
 
     wzs, wys, wxs = taps(dz, fz), taps(dy, fy), taps(dx, fx)
+    # separable accumulation (see stencil_warp_2d)
     out = jnp.zeros((n, c, d, h, w), f)
     for tz in range(-R, R + 1):
-        wz = wzs[tz + R][:, None]
         pz = imgp[:, :, R + tz:R + tz + d]
+        mid = jnp.zeros((n, c, d, h, w), f)
         for ty in range(-R, R + 1):
-            wzy = wz * wys[ty + R][:, None]
             py = pz[:, :, :, R + ty:R + ty + h]
+            inner = jnp.zeros((n, c, d, h, w), f)
             for tx in range(-R, R + 1):
                 tap = py[:, :, :, :, R + tx:R + tx + w]
-                out = out + (wzy * wxs[tx + R][:, None]) * tap.astype(f)
+                inner = inner + wxs[tx + R][:, None] * tap.astype(f)
+            mid = mid + wys[ty + R][:, None] * inner
+        out = out + wzs[tz + R][:, None] * mid
     return out.astype(img.dtype)
 
 

@@ -79,9 +79,13 @@ def compose_flow(flow1, flow2):
     dispatch — results are identical to f32 rounding for ANY input.
     """
     d = flow1.shape[1]
-    grid = jnp.moveaxis(flow2, 1, -1)  # (N, *spatial, d)
     if d == 2:
         def band(f):
+            # the minor-dim transpose lives INSIDE the sampler branch so
+            # the stencil branch (which reads channel-first directly)
+            # never pays for it (round-4 device trace: the shared
+            # moveaxis copies cost ~5% of the headline episode)
+            grid = jnp.moveaxis(flow2, 1, -1)
             return grid_sample_2d(f, grid, mode="bilinear",
                                   padding_mode="border", align_corners=True)
         if not (_stencil_enabled() and flow1.shape == flow2.shape):
@@ -97,13 +101,14 @@ def compose_flow(flow1, flow2):
         # cheap elementwise functions of the grid, so recompute them.
         # ONE cond tier only — a nested R=1/R=2 ladder fragmented the
         # episode program's HBM allocation past capacity (78% frag OOM).
-        stencil = jax.checkpoint(stencil_warp_2d, static_argnums=(2,))
+        stencil = jax.checkpoint(stencil_warp_2d, static_argnums=(2, 3))
         return lax.cond(
             dpx < 2.0 - 1e-3,
-            lambda f: stencil(f, grid, 2),
+            lambda f: stencil(f, flow2, 2, "first"),
             band, flow1)
 
     def band3(f):
+        grid = jnp.moveaxis(flow2, 1, -1)
         return grid_sample_3d(f, grid, mode="bilinear",
                               padding_mode="border", align_corners=True)
     if not (_stencil_enabled() and flow1.shape == flow2.shape):
@@ -119,9 +124,9 @@ def compose_flow(flow1, flow2):
     # throughput (2.377 vs 2.378 vol/s) — the adaptive step growth keeps
     # most compositions sub-voxel already and the doubling sequence skips
     # the (1, 2) px window — so keep the simpler program.
-    stencil3 = jax.checkpoint(stencil_warp_3d, static_argnums=(2,))
+    stencil3 = jax.checkpoint(stencil_warp_3d, static_argnums=(2, 3))
     return lax.cond(dpx < 1.0 - 1e-3,
-                    lambda f: stencil3(f, grid, 1),
+                    lambda f: stencil3(f, flow2, 1, "first"),
                     band3, flow1)
 
 

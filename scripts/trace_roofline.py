@@ -288,6 +288,17 @@ def analyze(name, once, top=25):
         d["bytes"] += _event_bytes(e)
         d["n"] += 1
     rows = sorted(per_op.items(), key=lambda kv: -kv[1]["us"])[:top]
+    per_cat = {}
+    for e in leaf:
+        cat = e["args"].get("hlo_category", "?")
+        # split custom calls by kernel family for attribution
+        if cat == "custom-call":
+            base = e["name"].split(".")[0]
+            cat = f"custom:{base}"
+        d = per_cat.setdefault(cat, {"us": 0.0, "bytes": 0})
+        d["us"] += e["dur"]
+        d["bytes"] += _event_bytes(e)
+    cats = sorted(per_cat.items(), key=lambda kv: -kv[1]["us"])
     span_s = span_us / 1e6 / TRACE_CALLS
     active_s = active_us / 1e6 / TRACE_CALLS
     bytes_call = total_bytes / TRACE_CALLS
@@ -303,6 +314,11 @@ def analyze(name, once, top=25):
         "measured_gbps": round(measured_gbps, 1),
         "measured_hbm_util_pct": round(100 * measured_gbps
                                        / V5E_PEAK_HBM_GBPS, 1),
+        "by_category": [
+            {"category": k,
+             "ms_per_call": round(v["us"] / 1e3 / TRACE_CALLS, 2),
+             "gbytes_per_call": round(v["bytes"] / TRACE_CALLS / 1e9, 2)}
+            for k, v in cats],
         "top_ops": [
             {"op": k, "category": v["category"], "calls": v["n"],
              "ms_per_call": round(v["us"] / 1e3 / TRACE_CALLS, 2),
@@ -318,7 +334,10 @@ def analyze(name, once, top=25):
           f"(bubbles {result['bubble_frac_of_span']:.1%}), measured "
           f"{result['measured_gbps']} GB/s "
           f"({result['measured_hbm_util_pct']}% of roofline)")
-    for r in result["top_ops"][:15]:
+    for r in result["by_category"][:12]:
+        print(f"  cat {r['ms_per_call']:8.2f} ms  "
+              f"{r['gbytes_per_call']:7.2f} GB  {r['category']}")
+    for r in result["top_ops"][:12]:
         print(f"  {r['ms_per_call']:8.2f} ms  {r['gbps'] or 0:7.1f} GB/s "
               f" x{r['calls']:<4} {r['category'][:18]:<18} {r['op'][:70]}")
     return result
