@@ -325,6 +325,34 @@ class DeeplySupervisedUNet(nn.Module):
         return jnp.moveaxis(final, -1, 1)
 
 
+class ZDecomposedConv3d(nn.Module):
+    """3x3x3 SAME conv on NDHWC, computed as a sum of three 2D convs over
+    z-shifted plane stacks (D folded into the batch): mathematically
+    identical to ``nn.Conv(features, (3, 3, 3), padding=1)`` with the same
+    parameter names/shapes, but XLA's 2D NHWC conv lowering runs ~10x
+    faster than its NCDHW 3D path on shallow volumes (round-4 device
+    trace: a 382-MFLOP 3D conv took 16 ms)."""
+    features: int
+
+    @nn.compact
+    def __call__(self, x):
+        n, d, h, w, cin = x.shape
+        kernel = self.param("kernel", kaiming_conv_init,
+                            (3, 3, 3, cin, self.features))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        xp = jnp.pad(x, ((0, 0), (1, 1), (0, 0), (0, 0), (0, 0)))
+        out = None
+        for dz in range(3):
+            planes = xp[:, dz:dz + d].reshape(n * d, h, w, cin)
+            y = jax.lax.conv_general_dilated(
+                planes, kernel[dz], window_strides=(1, 1),
+                padding=((1, 1), (1, 1)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                precision=jax.lax.Precision.HIGHEST)
+            out = y if out is None else out + y
+        return out.reshape(n, d, h, w, self.features) + bias
+
+
 class PseudoConv3dModel(nn.Module):
     """The reference's tiny 3D demo model (cardiac notebook cell 26):
     Conv3d(1->n_cls, 3, pad 1) -> BN3d -> dropout -> Conv3d head."""
@@ -335,11 +363,9 @@ class PseudoConv3dModel(nn.Module):
     def __call__(self, x, train: bool = False):
         # NCDHW -> NDHWC
         x = jnp.moveaxis(x, 1, -1)
-        x = nn.Conv(8, (3, 3, 3), padding=1,
-                    kernel_init=kaiming_conv_init, name="conv1")(x)
+        x = ZDecomposedConv3d(8, name="conv1")(x)
         x = TorchBatchNorm(name="bn1")(x, use_running_average=not train)
         x = nn.relu(x)
         x = nn.Dropout(self.dropout, deterministic=not train)(x)
-        x = nn.Conv(self.num_classes, (3, 3, 3), padding=1,
-                    kernel_init=kaiming_conv_init, name="conv2")(x)
+        x = ZDecomposedConv3d(self.num_classes, name="conv2")(x)
         return jnp.moveaxis(x, -1, 1)
