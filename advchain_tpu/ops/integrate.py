@@ -86,8 +86,9 @@ def compose_flow(flow1, flow2):
             # never pays for it (round-4 device trace: the shared
             # moveaxis copies cost ~5% of the headline episode)
             grid = jnp.moveaxis(flow2, 1, -1)
-            return grid_sample_2d(f, grid, mode="bilinear",
-                                  padding_mode="border", align_corners=True)
+            out = grid_sample_2d(f, grid, mode="bilinear",
+                                 padding_mode="border", align_corners=True)
+            return out.astype(f.dtype)  # XLA path promotes bf16 storage
         if not (_stencil_enabled() and flow1.shape == flow2.shape):
             return band(flow1)
         h, w = flow1.shape[2:]
@@ -109,8 +110,9 @@ def compose_flow(flow1, flow2):
 
     def band3(f):
         grid = jnp.moveaxis(flow2, 1, -1)
-        return grid_sample_3d(f, grid, mode="bilinear",
-                              padding_mode="border", align_corners=True)
+        out = grid_sample_3d(f, grid, mode="bilinear",
+                             padding_mode="border", align_corners=True)
+        return out.astype(f.dtype)  # XLA path promotes bf16 storage
     if not (_stencil_enabled() and flow1.shape == flow2.shape):
         return band3(flow1)
     dd, h, w = flow1.shape[2:]
@@ -143,6 +145,20 @@ def exponentiate_flow(duv, nb_steps: int = 8, method: str = "ss",
     d = duv.shape[1]
     spatial = duv.shape[2:]
     grid = base_grid(duv.shape[0], spatial, dtype=duv.dtype)
+    # ADVCHAIN_FLOW_STORAGE=bf16 (trace-time A/B experiment, round-4
+    # verdict item 4): carry the intermediate scaling-and-squaring flows
+    # in bf16 between steps (compute stays f32 — all sampler paths
+    # promote).  REJECTED as a default: measured parity cost 5.8 px at
+    # 192 (bf16's 2^-9 absolute quantum near the grid corners compounds
+    # through 8 compositions) for a throughput change recorded in
+    # PARITY.md; the device trace shows the ss chain is sweep/VPU-bound,
+    # not HBM-bound, so the byte saving does not buy time.  The knob
+    # remains for A/B reproduction only.
+    store = (jnp.bfloat16 if os.environ.get("ADVCHAIN_FLOW_STORAGE")
+             == "bf16" else None)
+
+    def _st(p):
+        return p.astype(store) if store is not None else p
 
     # PARITY QUIRK (reference adv_morph.py:101-113,129-143): integrate_by_add
     # mutates the base grid IN PLACE, so the final `phi - grid_wh` subtracts
@@ -151,20 +167,20 @@ def exponentiate_flow(duv, nb_steps: int = 8, method: str = "ss",
     if method == "ss":
         if not adaptive:
             phi0 = grid + duv / (2.0 ** nb_steps)
-            phi = phi0
+            phi = _st(phi0)
             for _ in range(nb_steps):
-                phi = compose_flow(phi, phi)
-            return phi - phi0
+                phi = _st(compose_flow(phi, phi))
+            return phi.astype(duv.dtype) - phi0
         norm = jnp.linalg.norm(duv.reshape(-1))
         needed = jnp.ceil(jnp.log2(jnp.maximum(norm, 1e-30) / 0.5))
         n_dyn = jnp.maximum(jnp.int32(nb_steps), needed.astype(jnp.int32))
         n_dyn = jnp.minimum(n_dyn, jnp.int32(nb_steps + _MAX_EXTRA_STEPS))
         phi0 = grid + duv * jnp.exp2(-n_dyn.astype(duv.dtype))
-        phi = phi0
+        phi = _st(phi0)
         for i in range(nb_steps + _MAX_EXTRA_STEPS):
-            phi = lax.cond(i < n_dyn, lambda p: compose_flow(p, p),
+            phi = lax.cond(i < n_dyn, lambda p: _st(compose_flow(p, p)),
                            lambda p: p, phi)
-        return phi - phi0
+        return phi.astype(duv.dtype) - phi0
 
     if method == "euler":
         # reference 2D euler: nb_steps compositions of the interval flow
