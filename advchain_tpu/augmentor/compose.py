@@ -154,15 +154,16 @@ class ComposeAdversarialTransformSolver:
             else:
                 present = (False,) * len(self.chain_of_transforms)
             fn = self._get_episode_fn(model, optimize_flags, step_sizes,
-                                      n_iter, present, data.shape)
+                                      n_iter, present, data.shape,
+                                      want_pseudo=False)
             seed = self._next_episode_seed()
             params_in = tuple(t.param if pr else None for t, pr in
                               zip(self.chain_of_transforms, present))
             (params, dist, adv_data, adv_output, warped_back_adv_output,
-             init_output, inner_dists, pseudo_label) = fn(
+             init_output, inner_dists, _pseudo) = fn(
                 seed, data, params_in, init_output,
                 self._model_variables(model))
-            self.pseudo_label = pseudo_label
+            self.pseudo_label = None  # only get_adv_data computes it
             for t, p in zip(self.chain_of_transforms, params):
                 t.param = p
                 t.is_training = False
@@ -660,7 +661,7 @@ class ComposeAdversarialTransformSolver:
         return bound
 
     def _get_episode_fn(self, model, optimize_flags, step_sizes, n_iter,
-                        present, data_shape):
+                        present, data_shape, want_pseudo: bool = True):
         """The ENTIRE adversarial_training common path as ONE cached device
         program: reference forward, random transform init (or warm start),
         the n_iter PGD inner loop, projection, and the final consistency
@@ -670,12 +671,17 @@ class ComposeAdversarialTransformSolver:
         ``present``: per-transform bool tuple — True entries warm-start
         from the caller's params, False entries draw random inits inside
         the program (reference lazy_load semantics, adv_compose_solver.py
-        :479-500, with zero extra dispatches)."""
+        :479-500, with zero extra dispatches).
+
+        ``want_pseudo``: only get_adv_data consumes the pseudo-label warp
+        (reference :461-462) — adversarial_training passes False so its
+        episode program skips those geometric warps (~2% of the headline
+        episode)."""
         present = tuple(bool(p) for p in present)
         key = ("episode", self._model_cache_key(model),
                tuple(optimize_flags),
                tuple(step_sizes), int(n_iter), present,
-               tuple(data_shape),
+               tuple(data_shape), bool(want_pseudo),
                tuple(t.power_iteration for t in self.chain_of_transforms),
                self._chain_cache_key())
         if self._cache_get(key) is None:
@@ -721,10 +727,14 @@ class ComposeAdversarialTransformSolver:
                     params, data, init_output)
                 # pseudo-labels for get_adv_data: init predictions pushed
                 # through the (geometric) chain (reference :461-462)
-                eval_flags = (False,) * len(transforms)
-                auxs = self._precompute_chain(transforms, params, eval_flags)
-                pseudo_label = self._predict_forward_pure(
-                    transforms, params, init_output, eval_flags, auxs)
+                if want_pseudo:
+                    eval_flags = (False,) * len(transforms)
+                    auxs = self._precompute_chain(transforms, params,
+                                                  eval_flags)
+                    pseudo_label = self._predict_forward_pure(
+                        transforms, params, init_output, eval_flags, auxs)
+                else:
+                    pseudo_label = init_output
                 return (params, dist, adv_data, adv_output, warped,
                         init_output, jnp.stack(dists) if dists else
                         jnp.zeros((0,)), pseudo_label)

@@ -96,6 +96,44 @@ def test_pallas_2d_gradients_match_torch(rng):
                                atol=1e-3)
 
 
+def test_zband_vs_legacy_plane_path_equivalence(rng, monkeypatch):
+    """The z-band fast path (default) and the legacy plane kernels
+    (ADVCHAIN_ZBAND=0, the fallback when the z-band stack exceeds its
+    VMEM budget) must agree bitwise-for-f32 on identical inputs; also
+    exercise the automatic fallback via a tiny budget."""
+    x = rng.randn(2, 2, 7, 9, 11).astype(np.float32)
+    grid = (rng.rand(2, 7, 9, 11, 3).astype(np.float32) * 2.2 - 1.1)
+    zband = np.asarray(grid_sample_3d_pallas(jnp.asarray(x),
+                                             jnp.asarray(grid)))
+    monkeypatch.setenv("ADVCHAIN_ZBAND", "0")
+    legacy = np.asarray(grid_sample_3d_pallas(jnp.asarray(x),
+                                              jnp.asarray(grid)))
+    np.testing.assert_allclose(zband, legacy, atol=1e-6)
+    monkeypatch.delenv("ADVCHAIN_ZBAND")
+    # budget too small for even one channel -> plane-path fallback
+    monkeypatch.setenv("ADVCHAIN_ZBAND_BUDGET", "1024")
+    from advchain_tpu.kernels import gather_matmul as gm
+    assert gm._zband_groups(1, 7, 9, 11) is None
+    small = np.asarray(grid_sample_3d_pallas(jnp.asarray(x),
+                                             jnp.asarray(grid)))
+    np.testing.assert_allclose(small, zband, atol=1e-6)
+
+
+def test_zband_gradients_match_torch(rng):
+    x = rng.randn(1, 1, 5, 8, 9).astype(np.float32)
+    grid = (rng.rand(1, 5, 8, 9, 3).astype(np.float32) * 2.0 - 1.0)
+    gx_ours, gg_ours = jax.grad(
+        lambda xx, gg: jnp.sum(grid_sample_3d_pallas(xx, gg) ** 2),
+        argnums=(0, 1))(jnp.asarray(x), jnp.asarray(grid))
+    xt = torch.from_numpy(x).requires_grad_(True)
+    gt = torch.from_numpy(grid).requires_grad_(True)
+    (F.grid_sample(xt, gt, align_corners=True) ** 2).sum().backward()
+    np.testing.assert_allclose(np.asarray(gx_ours), xt.grad.numpy(),
+                               atol=1e-3)
+    np.testing.assert_allclose(np.asarray(gg_ours), gt.grad.numpy(),
+                               atol=1e-3)
+
+
 def test_channel_groups_math():
     from advchain_tpu.kernels import gather_matmul as gm
     s = gm._VMEM_IMG_BUDGET // (2 * 4)  # one channel exactly fills at K=2
