@@ -46,8 +46,13 @@ __all__ = ["corner_gather", "corner_scatter", "plane_gather",
            "plane_scatter", "band_gather", "band_scatter",
            "grid_sample_2d_pallas", "grid_sample_3d_pallas"]
 
-# output-pixel tile (sublanes of the one-hot) / source chunk (lanes)
-_PT = 512
+# output-pixel tile (sublanes of the one-hot) / source chunk (lanes).
+# PT=1024 measured uniformly faster than 512 on the 2D warp shapes
+# (fwd_c1 1.38->1.20 ms, grad_c1 2.30->1.93, scripts/kernel_tile_bench.py):
+# per-tile fixed costs (one-hot build, loop setup, output writes) amortize
+# over twice the pixels while band segment counts stay flat for smooth
+# warps.  Env override for A/B: ADVCHAIN_PT.
+_PT = int(os.environ.get("ADVCHAIN_PT", "1024"))
 _CH = 512
 
 
@@ -1316,7 +1321,7 @@ def _channel_groups(k: int, c: int, s: int):
 # rows -> a near-full chunk sweep; a 16x32 patch spreads only
 # ~sin(theta)*32 + cos(theta)*16 rows).  Row-major stays optimal for the
 # near-identity warps (morph flows), so the order is a per-call-site hint.
-_BPH, _BPW = 16, 32
+_BPH, _BPW = (16, 32) if _PT == 512 else (32, _PT // 32)
 assert _BPH * _BPW == _PT
 
 
@@ -1440,7 +1445,7 @@ def grid_sample_2d_pallas(x, grid, padding_mode: str = "zeros",
 # degenerating the plane kernel's band windows (measured: 44 -> 258 ms fwd
 # at 10 deg, c=1, 12x192x192).  A (1, 8, 64) patch keeps the in-plane band
 # at ~(8 + sin(th)*64) rows and never straddles output z planes.
-_BPZ3, _BPY3, _BPX3 = 1, 8, 64
+_BPZ3, _BPY3, _BPX3 = 1, _PT // 64, 64
 assert _BPZ3 * _BPY3 * _BPX3 == _PT
 
 
