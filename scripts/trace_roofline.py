@@ -30,12 +30,11 @@ import glob
 import gzip
 import json
 import os
+import re
 import shutil
 import sys
 import tempfile
 import time
-
-import numpy as np
 
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, ROOT)
@@ -194,7 +193,6 @@ def _long_name_bytes(long_name):
     inside a Pallas kernel; operands+result is the canonical lower
     bound)."""
     global _SHAPE_RE
-    import re
     if _SHAPE_RE is None:
         _SHAPE_RE = re.compile(
             r"\b(" + "|".join(_DTYPE_BYTES) + r")\[([0-9,]*)\]")

@@ -33,7 +33,7 @@ REPS = 20
 N, D, H, W = 2, 12, 192, 192
 
 
-def rotated_grid(n, d, h, w, deg=10.0, seed=0):
+def rotated_grid(n, d, h, w, deg=10.0):
     """Affine-style grid: rot_x = rot_y = rot_z = deg, small scale/shift."""
     t = np.radians(deg)
     cz, sz = np.cos(t), np.sin(t)
