@@ -173,20 +173,73 @@ class ComposeAdversarialTransformSolver:
         else:
             if hasattr(model, "begin_episode"):
                 model.begin_episode()
-            if init_output is None:
-                init_output = self.get_init_output(data=data, model=model)
-
-            self.init_random_transformation(
-                lazy_load, anatomy_mask_images=anatomy_mask_images,
-                volume_preserve_tolerance=volume_preserve_tolerance)
-            if n_iter >= 1:
+            use_anatomy = abs(anatomy_reg_weight) > 1e-32
+            has_geo = self.if_contains_geo_transform()
+            if not lazy_load:
+                # FUSED FIRST ATTEMPT: init (+ rejection sampling), the
+                # n_iter anatomy-penalized PGD loop, projection, volume
+                # check, and final pass as ONE dispatch; the host ladder
+                # below only runs on a failed volume check (rare)
+                fn = self._get_anatomy_episode_fn(
+                    model, optimize_flags, step_sizes, n_iter, data.shape,
+                    tuple(anatomy_mask_images.shape), anatomy_reg_weight,
+                    float(volume_preserve_tolerance), use_anatomy)
+                (params, dist, adv_data, adv_output,
+                 warped_back_adv_output, init_output, inner_dists,
+                 stats) = fn(self._next_episode_seed(), data,
+                             init_output, anatomy_mask_images,
+                             self._model_variables(model),
+                             self._episode_dropout_key(model))
+                for t, p in zip(self.chain_of_transforms, params):
+                    t.param = p
+                    t.is_training = False
+                if self.debug:
+                    for i, d in enumerate(np_asarray_list(inner_dists)):
+                        print(f"[inner loop], step {i + 1}: dist {d}")
+                import numpy as _np
+                mis, max_tries = _np.asarray(stats)  # one host transfer
+                if max_tries > 10:
+                    logger.warning(
+                        "random initialization: fail to find a good "
+                        "initialized geo transformation in the given "
+                        "range; reduce the search space or increase the "
+                        "tolerance factor")
+                ok = (n_iter < 1 or not has_geo or not use_anatomy
+                      or float(mis) <= volume_preserve_tolerance)
+                if ok:
+                    self.init_output = init_output
+                    self.warped_back_adv_output = warped_back_adv_output
+                    self.origin_data = data
+                    self.adv_data = adv_data
+                    self.adv_predict = adv_output
+                    if self.debug:
+                        print("[outer loop] loss", float(dist))
+                    return dist
+                # volume check failed: hand over to the graduated retry
+                # ladder, continuing from the written-back params
                 self.optimizing_transform(
                     data=data, model=model, init_output=init_output,
                     n_iter=n_iter, optimize_flags=optimize_flags,
                     step_sizes=step_sizes,
                     anatomy_mask_images=anatomy_mask_images,
                     anatomy_reg_weight=anatomy_reg_weight,
+                    volume_preserve_tolerance=volume_preserve_tolerance,
+                    _resume_from_first_decision=True)
+            else:
+                if init_output is None:
+                    init_output = self.get_init_output(data=data,
+                                                       model=model)
+                self.init_random_transformation(
+                    lazy_load, anatomy_mask_images=anatomy_mask_images,
                     volume_preserve_tolerance=volume_preserve_tolerance)
+                if n_iter >= 1:
+                    self.optimizing_transform(
+                        data=data, model=model, init_output=init_output,
+                        n_iter=n_iter, optimize_flags=optimize_flags,
+                        step_sizes=step_sizes,
+                        anatomy_mask_images=anatomy_mask_images,
+                        anatomy_reg_weight=anatomy_reg_weight,
+                        volume_preserve_tolerance=volume_preserve_tolerance)
 
             for tr in self.chain_of_transforms:
                 tr.eval()
@@ -743,6 +796,172 @@ class ComposeAdversarialTransformSolver:
                             pin=(model, transforms))
         return self._cache_get(key)
 
+    def _get_anatomy_init_fn(self, mask_shape, tol: float):
+        """Fused anatomy-constrained random init (reference
+        adv_compose_solver.py:479-500): draw every transform's params, then
+        for each geometric transform re-draw ITS params while the full
+        chain's volume-preserve misoverlap exceeds ``tol`` (<=10 tries,
+        lax.while_loop) — ONE device program instead of ~6 eager
+        dispatches (each ~20-30 ms tunnel latency; the constrained solve
+        is dispatch-bound without this).  Returns (params, mis, tries) —
+        ``tries`` per-transform so the host can emit the reference's
+        give-up warning."""
+        transforms = tuple(self.chain_of_transforms)
+        key = ("anatomy_init", tuple(mask_shape), float(tol),
+               self._chain_cache_key())
+        if self._cache_get(key) is None:
+            def init(base_key, mask):
+                params, mis, tries = self._traced_anatomy_init(
+                    transforms, base_key, mask, tol)
+                # pack the host-inspected scalars into ONE tiny array:
+                # each separate device->host read costs a ~15-25 ms
+                # tunnel round trip
+                stats = jnp.stack([mis, jnp.max(tries).astype(mis.dtype)])
+                return params, stats
+
+            self._cache_put(key, jax.jit(init), pin=transforms)
+        return self._cache_get(key)
+
+    def _traced_mis(self, transforms, params, mask):
+        """Traced volume-preserve misoverlap score (mask roundtrip MSE)."""
+        eval_flags = (False,) * len(transforms)
+        auxs = self._precompute_chain(transforms, params, eval_flags)
+        fwd = self._predict_forward_pure(transforms, params, mask,
+                                         eval_flags, auxs)
+        rec = self._predict_backward_pure(transforms, params, fwd,
+                                          eval_flags, auxs)
+        rec = jnp.where(rec >= 0.5, 1.0, 0.0)
+        return jnp.mean((rec - mask) ** 2)
+
+    def _traced_anatomy_init(self, transforms, base_key, mask, tol):
+        """Traced init + per-geometric-transform rejection sampling (see
+        _get_anatomy_init_fn)."""
+        keys = jax.random.split(base_key, len(transforms) + 1)
+        params = tuple(t.init_params(k) for t, k in zip(transforms, keys))
+        loop_key = keys[-1]
+        mis = self._traced_mis(transforms, params, mask)
+        tries = []
+        for i, t in enumerate(transforms):
+            if not t.is_geometric():
+                tries.append(jnp.zeros((), jnp.int32))
+                continue
+
+            def cond(carry):
+                _, _, m, n = carry
+                return (m > tol) & (n <= 10)
+
+            def body(carry, i=i, t=t):
+                k, ps, _, n = carry
+                k, sub = jax.random.split(k)
+                ps = ps[:i] + (t.init_params(sub),) + ps[i + 1:]
+                return k, ps, self._traced_mis(transforms, ps, mask), n + 1
+
+            loop_key, params, mis, n_i = jax.lax.while_loop(
+                cond, body,
+                (loop_key, params, mis, jnp.zeros((), jnp.int32)))
+            tries.append(n_i)
+        return params, mis, jnp.stack(tries)
+
+    def _get_anatomy_episode_fn(self, model, optimize_flags, step_sizes,
+                                n_iter, data_shape, mask_shape,
+                                anatomy_reg_weight, tol, use_anatomy):
+        """The anatomy-constrained solve's FIRST ATTEMPT as one device
+        program: reference forward, rejection-sampled init, the n_iter
+        anatomy-penalized PGD loop, projection, the volume-preserve score,
+        and the final consistency pass.  The host inspects the returned
+        ``mis``: within tolerance (the common case — 5/5 in the bench) the
+        solve is DONE in ~2 dispatches; otherwise the stateful graduated
+        retry ladder (reference adv_compose_solver.py:376-401) takes over
+        from the written-back params."""
+        key = ("anatomy_episode", self._model_cache_key(model),
+               tuple(optimize_flags), tuple(step_sizes), int(n_iter),
+               tuple(data_shape), tuple(mask_shape),
+               float(anatomy_reg_weight), float(tol), bool(use_anatomy),
+               tuple(t.power_iteration for t in self.chain_of_transforms),
+               self._chain_cache_key())
+        if self._cache_get(key) is None:
+            transforms = tuple(self.chain_of_transforms)
+            flags = tuple(bool(f) for f in optimize_flags)
+            steps = tuple(float(s) for s in step_sizes)
+
+            def episode(seed, data, init_output_in, anatomy, model_vars,
+                        dropout_key):
+                data = jax.lax.stop_gradient(data)
+                base = jax.random.PRNGKey(seed)
+                k_drop, k_init = jax.random.split(base)
+                if dropout_key is not None:
+                    # wrapper models redraw their fixed episode mask via
+                    # begin_episode(); honor it so a retry-ladder
+                    # continuation sees the same dropout
+                    k_drop = dropout_key
+                model_fn = lambda x: self._model_call(model, x, k_drop,
+                                                      model_vars)
+                model_fn_final = lambda x: self._model_call(
+                    model, x, k_drop, model_vars, train=True)
+                if init_output_in is None:
+                    init_output = jax.lax.stop_gradient(model_fn(data))
+                else:
+                    init_output = jax.lax.stop_gradient(init_output_in)
+                params, _, tries = self._traced_anatomy_init(
+                    transforms, k_init, anatomy, tol)
+                params = tuple(t.prepare_train(p) if f else p
+                               for t, p, f in zip(transforms, params, flags))
+                dists = []
+                if n_iter > 0:
+                    pgd = self.build_pgd_step_fn(
+                        model_fn, flags, steps, use_anatomy=use_anatomy,
+                        anatomy_reg_weight=anatomy_reg_weight)
+                    for _ in range(n_iter):
+                        params, d = pgd(params, data, init_output, anatomy)
+                        dists.append(d)
+                    params = tuple(t.project(p) if f else p
+                                   for t, p, f in
+                                   zip(transforms, params, flags))
+                params = jax.lax.stop_gradient(params)
+                mis = self._traced_mis(transforms, params, anatomy)
+                final = self._final_loss_math(model_fn_final)
+                dist, adv_data, adv_output, warped = final(
+                    params, data, init_output)
+                # mis + max tries packed: ONE host transfer for the
+                # volume-check decision (tunnel round trips ~15-25 ms)
+                stats = jnp.stack([mis, jnp.max(tries).astype(mis.dtype)])
+                return (params, dist, adv_data, adv_output, warped,
+                        init_output, jnp.stack(dists) if dists else
+                        jnp.zeros((0,)), stats)
+
+            self._cache_put(key, jax.jit(episode),
+                            pin=(model, transforms))
+        return self._cache_get(key)
+
+    def _get_pgd_multi(self, model, optimize_flags, step_sizes, use_anatomy,
+                       anatomy_reg_weight, data_shape, n_steps: int):
+        """``n_steps`` PGD iterations fused as ONE device program (a
+        Python-unrolled loop over the shared step fn).  The host-driven
+        per-step dispatch in optimizing_transform costs ~20-30 ms tunnel
+        latency EACH on remote TPU runtimes; the anatomy-constrained solve
+        (BASELINE config #3) is dispatch-bound without this.  Returns
+        (params, dists[n_steps])."""
+        key = ("pgd_multi", int(n_steps), self._model_cache_key(model),
+               tuple(optimize_flags), tuple(step_sizes),
+               bool(use_anatomy), float(anatomy_reg_weight),
+               tuple(data_shape),
+               tuple(t.power_iteration for t in self.chain_of_transforms),
+               self._chain_cache_key())
+        if self._cache_get(key) is None:
+            step = self.build_pgd_step_fn(model, optimize_flags, step_sizes,
+                                          use_anatomy, anatomy_reg_weight)
+
+            def multi(params, data, init_output, anatomy_mask):
+                dists = []
+                for _ in range(n_steps):
+                    params, d = step(params, data, init_output, anatomy_mask)
+                    dists.append(d)
+                return params, jnp.stack(dists)
+
+            self._cache_put(key, jax.jit(multi),
+                            pin=(model, tuple(self.chain_of_transforms)))
+        return self._cache_get(key)
+
     def _get_pgd_step(self, model, optimize_flags, step_sizes, use_anatomy,
                       anatomy_reg_weight, data_shape):
         key = (self._model_cache_key(model), tuple(optimize_flags),
@@ -843,10 +1062,16 @@ class ComposeAdversarialTransformSolver:
                              n_iter: int = 1, step_sizes=None,
                              anatomy_mask_images=None,
                              anatomy_reg_weight: float = 50,
-                             volume_preserve_tolerance: float = 5e-4):
+                             volume_preserve_tolerance: float = 5e-4,
+                             _resume_from_first_decision: bool = False):
         """Inner PGD loop; host drives the jitted step and handles the
         volume-preserving graduated fallback
-        (reference adv_compose_solver.py:289-405)."""
+        (reference adv_compose_solver.py:289-405).
+
+        ``_resume_from_first_decision``: internal — the fused anatomy
+        episode already ran the first n_iter steps and measured a failed
+        volume check; enter the ladder AT the first decision point with
+        the current (written-back) transform params."""
         if step_sizes is None:
             step_sizes = [1.0] * len(self.chain_of_transforms)
         data = jax.lax.stop_gradient(data)
@@ -854,69 +1079,76 @@ class ComposeAdversarialTransformSolver:
             abs(anatomy_reg_weight) > 1e-32
         anatomy_arg = (anatomy_mask_images if use_anatomy
                        else jnp.zeros_like(data))
-        step_fn = self._get_pgd_step(model, optimize_flags, step_sizes,
-                                     use_anatomy, anatomy_reg_weight,
-                                     data.shape)
 
         self.make_learnable_transformation(optimize_flags)
         params = list(t.param for t in self.chain_of_transforms)
         one_time_iter = n_iter
-        i_iter = 0
+        i_iter = n_iter if _resume_from_first_decision else 0
         stop_flag = n_iter <= 0
         while not stop_flag:
-            i_iter += 1
-            params_t, dist = step_fn(tuple(params), data, init_output,
-                                     anatomy_arg)
-            params = list(params_t)
-            if self.debug:
-                print(f"[inner loop], step {i_iter}: dist {float(dist)}")
-            if i_iter == n_iter:
-                # write back, project, freeze (reference :369-375); the
-                # projection is one fused device program
-                params = list(self._get_project_all_fn(optimize_flags)(
-                    tuple(params)))
-                for flag, t, p in zip(optimize_flags,
-                                      self.chain_of_transforms, params):
-                    t.param = jax.lax.stop_gradient(p)
-                    if flag:
-                        t.eval()
-                if self.if_contains_geo_transform() and use_anatomy:
-                    mis = float(self.compute_anatomy_misoverlapping_loss(
-                        anatomy_mask_images))
-                    if abs(mis) <= volume_preserve_tolerance:
-                        stop_flag = True
-                    elif i_iter >= 3 * one_time_iter:
-                        stop_flag = True
-                        logger.warning(
-                            "optimization time is 3X longer than expected, "
-                            "use random initialized one instead; consider "
-                            "narrowing the affine search space or a smaller "
-                            "step size")
+            # run every step up to the next decision point as ONE fused
+            # dispatch (per-step dispatches cost ~20-30 ms tunnel latency
+            # each; the constrained solve is dispatch-bound otherwise)
+            burst = n_iter - i_iter
+            if burst > 0:
+                multi_fn = self._get_pgd_multi(model, optimize_flags,
+                                               step_sizes, use_anatomy,
+                                               anatomy_reg_weight,
+                                               data.shape, burst)
+                params_t, dists = multi_fn(tuple(params), data, init_output,
+                                           anatomy_arg)
+                params = list(params_t)
+                if self.debug:
+                    for j, dv in enumerate(np_asarray_list(dists)):
+                        print(f"[inner loop], step {i_iter + j + 1}: "
+                              f"dist {dv}")
+            i_iter = n_iter
+            # decision point (reference i_iter == n_iter, :369-375): write
+            # back, project (one fused program), freeze, volume check
+            params = list(self._get_project_all_fn(optimize_flags)(
+                tuple(params)))
+            for flag, t, p in zip(optimize_flags,
+                                  self.chain_of_transforms, params):
+                t.param = jax.lax.stop_gradient(p)
+                if flag:
+                    t.eval()
+            if self.if_contains_geo_transform() and use_anatomy:
+                mis = float(self.compute_anatomy_misoverlapping_loss(
+                    anatomy_mask_images))
+                if abs(mis) <= volume_preserve_tolerance:
+                    stop_flag = True
+                elif i_iter >= 3 * one_time_iter:
+                    stop_flag = True
+                    logger.warning(
+                        "optimization time is 3X longer than expected, "
+                        "use random initialized one instead; consider "
+                        "narrowing the affine search space or a smaller "
+                        "step size")
+                    self.init_random_transformation(
+                        anatomy_mask_images=anatomy_mask_images,
+                        volume_preserve_tolerance=volume_preserve_tolerance)
+                    # keep the fallback's random params — the final
+                    # write-back below must not restore the rejected
+                    # optimized ones (reference :385-387 keeps these)
+                    params = [t.param for t in self.chain_of_transforms]
+                else:
+                    if i_iter == 2 * one_time_iter:
                         self.init_random_transformation(
                             anatomy_mask_images=anatomy_mask_images,
                             volume_preserve_tolerance=volume_preserve_tolerance)
-                        # keep the fallback's random params — the final
-                        # write-back below must not restore the rejected
-                        # optimized ones (reference :385-387 keeps these)
-                        params = [t.param for t in self.chain_of_transforms]
+                        n_iter += one_time_iter
+                        logger.warning(
+                            "volume not preserved; continuing search "
+                            "with a new initialization")
                     else:
-                        if i_iter == 2 * one_time_iter:
-                            self.init_random_transformation(
-                                anatomy_mask_images=anatomy_mask_images,
-                                volume_preserve_tolerance=volume_preserve_tolerance)
-                            n_iter += one_time_iter
-                            logger.warning(
-                                "volume not preserved; continuing search "
-                                "with a new initialization")
-                        else:
-                            n_iter += 1
-                            logger.warning(
-                                "volume not preserved; continuing search "
-                                "with one more step")
-                        self.make_learnable_transformation(optimize_flags)
-                        params = [t.param for t in self.chain_of_transforms]
-                else:
-                    stop_flag = True
+                        n_iter += 1
+                        logger.warning(
+                            "volume not preserved; continuing search "
+                            "with one more step")
+                    self.make_learnable_transformation(optimize_flags)
+                    params = [t.param for t in self.chain_of_transforms]
+            else:
+                stop_flag = True
         # final write-back (no-op if loop wrote back already)
         for t, p in zip(self.chain_of_transforms, params):
             t.param = jax.lax.stop_gradient(p)
@@ -1006,6 +1238,27 @@ class ComposeAdversarialTransformSolver:
             for t, p in zip(self.chain_of_transforms, params):
                 if not lazy_load or t.param is None:
                     t.param = p
+            return
+        if (anatomy_mask_images is not None and self.chain_of_transforms
+                and not lazy_load):
+            # fused anatomy path: init + per-geometric rejection sampling
+            # as ONE device program (the stateful loop below costs ~6
+            # eager dispatches; kept for lazy_load warm starts)
+            base_key = self.chain_of_transforms[0]._next_key()
+            fn = self._get_anatomy_init_fn(
+                tuple(anatomy_mask_images.shape),
+                float(volume_preserve_tolerance))
+            params, stats = fn(base_key, anatomy_mask_images)
+            for t, p in zip(self.chain_of_transforms, params):
+                t.param = p
+            import numpy as _np
+            mis, max_tries = _np.asarray(stats)  # one host transfer
+            if mis > volume_preserve_tolerance and max_tries > 10:
+                logger.warning(
+                    "random initialization: fail to find a good "
+                    "initialized geo transformation in the given "
+                    "range; reduce the search space or increase the "
+                    "tolerance factor")
             return
         for transform in self.chain_of_transforms:
             if lazy_load:

@@ -305,7 +305,9 @@ def bench_constrained_solve(batch=4, n_iter=3):
     n_solves = 5
 
     def solve():
-        solver.reset_transformation()
+        # adversarial_training draws a fresh rejection-sampled init itself
+        # (lazy_load=False) — the torch-reference baseline's solve is the
+        # same single call, so no separate reset_transformation here
         d = solver.adversarial_training(
             data=data, model=model, n_iter=n_iter,
             anatomy_mask_images=anatomy, anatomy_reg_weight=50,

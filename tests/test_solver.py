@@ -209,6 +209,59 @@ def test_anatomy_constrained_search_terminates():
     assert np.isfinite(float(dist))
 
 
+def test_anatomy_failed_volume_check_enters_retry_ladder(caplog):
+    """When the fused first attempt fails the volume check, the graduated
+    retry ladder (reference adv_compose_solver.py:376-401) must take over
+    and terminate — at worst falling back to a random re-init at 3x
+    n_iter with the reference's warning."""
+    import logging
+    chain = [AdvAffine(config_dict={"rot": 0.45, "scale_x": 0.4,
+                                    "scale_y": 0.4, "shift_x": 0.4,
+                                    "shift_y": 0.4, "data_size": SIZE},
+                       seed=11)]
+    solver = ComposeAdversarialTransformSolver(
+        chain_of_transforms=chain, divergence_types=["mse"],
+        divergence_weights=[1.0])
+    model = make_model()
+    data = make_data()
+    mask = np.zeros(SIZE, np.float32)
+    mask[:, :, 4:28, 4:28] = 1.0
+    with caplog.at_level(logging.WARNING):
+        dist = solver.adversarial_training(
+            data=data, model=model, n_iter=1,
+            anatomy_mask_images=jnp.asarray(mask), anatomy_reg_weight=50,
+            volume_preserve_tolerance=1e-9)  # unachievably tight
+    assert np.isfinite(float(dist))
+    # the impossible tolerance must exhaust the ladder into the random
+    # fallback (reference :382-394)
+    assert any("3X longer" in r.message for r in caplog.records), \
+        [r.message for r in caplog.records]
+
+
+def test_anatomy_fused_attempt_preserves_volume():
+    """Common case: the fused first attempt's returned transforms satisfy
+    the volume-preserve tolerance (bench config #3 semantics)."""
+    chain = [AdvAffine(config_dict={"rot": 0.02, "scale_x": 0.02,
+                                    "scale_y": 0.02, "shift_x": 0.02,
+                                    "shift_y": 0.02, "data_size": SIZE},
+                       seed=12)]
+    solver = ComposeAdversarialTransformSolver(
+        chain_of_transforms=chain, divergence_types=["mse"],
+        divergence_weights=[1.0])
+    model = make_model()
+    data = make_data()
+    mask = np.zeros(SIZE, np.float32)
+    mask[:, :, 12:20, 12:20] = 1.0
+    mask = jnp.asarray(mask)
+    tol = 5e-3
+    dist = solver.adversarial_training(
+        data=data, model=model, n_iter=2, anatomy_mask_images=mask,
+        anatomy_reg_weight=50, volume_preserve_tolerance=tol)
+    assert np.isfinite(float(dist))
+    mis = float(solver.compute_anatomy_misoverlapping_loss(mask))
+    assert mis <= tol, mis
+
+
 def test_step_cache_reused():
     chain = [AdvNoise(config_dict={"epsilon": 0.2, "xi": 1e-6,
                                    "data_size": SIZE}, seed=10)]
