@@ -134,6 +134,38 @@ def test_zband_gradients_match_torch(rng):
                                atol=1e-3)
 
 
+@pytest.mark.parametrize("shape", [(1, 1, 7, 13), (2, 3, 100, 150),
+                                   (1, 2, 33, 517), (3, 1, 191, 193)])
+def test_pallas_2d_odd_shapes_match_torch(rng, shape):
+    """Shape-robustness sweep: non-tile-divisible H/W, W > one chunk,
+    prime sizes — the band kernel's padding/segment logic must stay
+    torch-exact everywhere."""
+    n, c, h, w = shape
+    x = rng.randn(*shape).astype(np.float32)
+    grid = (rng.rand(n, h, w, 2).astype(np.float32) * 2.2 - 1.1)
+    ours = np.asarray(grid_sample_2d_pallas(jnp.asarray(x),
+                                            jnp.asarray(grid)))
+    theirs = F.grid_sample(torch.from_numpy(x), torch.from_numpy(grid),
+                           mode="bilinear", padding_mode="zeros",
+                           align_corners=True).numpy()
+    np.testing.assert_allclose(ours, theirs, atol=1e-4)
+
+
+@pytest.mark.parametrize("shape", [(1, 1, 3, 7, 13), (2, 2, 5, 50, 70),
+                                   (1, 1, 2, 31, 129)])
+def test_pallas_3d_odd_shapes_match_torch(rng, shape):
+    """3D analogue: odd D/H/W through the z-band (or fallback) path."""
+    n, c, d, h, w = shape
+    x = rng.randn(*shape).astype(np.float32)
+    grid = (rng.rand(n, d, h, w, 3).astype(np.float32) * 2.2 - 1.1)
+    ours = np.asarray(grid_sample_3d_pallas(jnp.asarray(x),
+                                            jnp.asarray(grid)))
+    theirs = F.grid_sample(torch.from_numpy(x), torch.from_numpy(grid),
+                           mode="bilinear", padding_mode="zeros",
+                           align_corners=True).numpy()
+    np.testing.assert_allclose(ours, theirs, atol=1e-4)
+
+
 def test_channel_groups_math():
     from advchain_tpu.kernels import gather_matmul as gm
     s = gm._VMEM_IMG_BUDGET // (2 * 4)  # one channel exactly fills at K=2
