@@ -966,18 +966,6 @@ def _zband_dims(c: int, d: int, h: int, w: int):
     return hp, wp, 2 * c * d * hp * wp * 4
 
 
-def _zband_groups(c: int, d: int, h: int, w: int):
-    """Channel groups whose K=2 x-shifted (2C, D, Hp, Wp) stack fits the
-    z-band VMEM budget; None when even one channel does not fit."""
-    hp, wp, _ = _zband_dims(1, d, h, w)
-    per_c = 2 * d * hp * wp * 4
-    budget = _zband_budget()
-    if per_c > budget:
-        return None
-    cg = min(c, budget // per_c)
-    n_groups = -(-c // cg)
-    size = -(-c // n_groups)
-    return [(i, min(size, c - i)) for i in range(0, c, size)]
 
 
 def _zband_pack(img, rb):
@@ -1016,14 +1004,22 @@ def _zband_zrange(zp, d):
 def zband_gather(img, zidx, yidx, xidx):
     """img: (N, C, D, H, W); z/y/xidx: (N, P) int32 clipped bases; returns
     vals (N, 8, C, P) at the 8 trilinear corners in (dz, dy, dx) binary
-    order, zero past D/H/W (call sites fold collapsed-tap weights)."""
+    order, zero past D/H/W (call sites fold collapsed-tap weights).
+
+    VMEM-resident when the K=2 x-shifted stack fits the z-band budget;
+    otherwise the stack stays in HBM and each (z, y-band) block streams
+    through a double-buffered (2, KC, RB, Wp) scratch — ONE multi-channel
+    call whose one-hot/selects are shared by every channel as extra
+    matmul rows, instead of per-channel-group resident calls each
+    rebuilding them (round-4: prediction warp c=5 18.0 -> ~14 ms)."""
     n, c, d, h, w = img.shape
     kc = 2 * c
     rb = _ZRB
     img_k, hp, wp = _zband_pack(img, rb)
     z4, y4, x4, n_tiles, p_orig = _zband_tiles(zidx, yidx, xidx)
+    resident = kc * d * hp * wp * 4 <= _zband_budget()
 
-    def kernel(z_ref, y_ref, x_ref, img_ref, out_ref):
+    def tile_state(z_ref, y_ref, x_ref):
         zp = z_ref[0, 0, 0, :]
         yp = y_ref[0, 0, 0, :]
         xp = x_ref[0, 0, 0, :]
@@ -1033,35 +1029,99 @@ def zband_gather(img, zidx, yidx, xidx):
         zlo, nz = _zband_zrange(zp, d)
         total = nz * jnp.maximum(nseg, 0)
         nsg = jnp.maximum(nseg, 1)  # div-safe (total==0 skips the loop)
+        return zp, yp, oh, rlo8, zlo, total, nsg
 
-        def blk(t, accs):
-            a00, a01, a10, a11 = accs
-            z = zlo + t // nsg
-            si = jax.lax.rem(t, nsg)
-            base = pl.multiple_of(rlo8 + si * rb, 8)
-            band = img_ref[0, :, z, pl.ds(base, rb), :]  # (KC, RB, Wp)
-            r = _dot_f32(band.reshape(kc * rb, wp), oh,
-                         (((1,), (1,)), ((), ())))  # (KC*RB, PT)
-            r3 = r.reshape(kc, rb, _PT)
-            rowi = base + jax.lax.broadcasted_iota(jnp.int32, (rb, _PT), 0)
-            sy0 = (yp[None, :] == rowi)
-            sy1 = (yp[None, :] + 1 == rowi)
-            sz0 = (zp == z)[None, :]
-            sz1 = (zp + 1 == z)[None, :]
-            s00 = (sy0 & sz0).astype(jnp.float32)
-            s01 = (sy1 & sz0).astype(jnp.float32)
-            s10 = (sy0 & sz1).astype(jnp.float32)
-            s11 = (sy1 & sz1).astype(jnp.float32)
-            return (a00 + jnp.sum(r3 * s00[None], axis=1),
-                    a01 + jnp.sum(r3 * s01[None], axis=1),
-                    a10 + jnp.sum(r3 * s10[None], axis=1),
-                    a11 + jnp.sum(r3 * s11[None], axis=1))
+    def accumulate(band, zp, yp, oh, z, base, accs):
+        a00, a01, a10, a11 = accs
+        r = _dot_f32(band.reshape(kc * rb, wp), oh,
+                     (((1,), (1,)), ((), ())))  # (KC*RB, PT)
+        r3 = r.reshape(kc, rb, _PT)
+        rowi = base + jax.lax.broadcasted_iota(jnp.int32, (rb, _PT), 0)
+        sy0 = (yp[None, :] == rowi)
+        sy1 = (yp[None, :] + 1 == rowi)
+        sz0 = (zp == z)[None, :]
+        sz1 = (zp + 1 == z)[None, :]
+        s00 = (sy0 & sz0).astype(jnp.float32)
+        s01 = (sy1 & sz0).astype(jnp.float32)
+        s10 = (sy0 & sz1).astype(jnp.float32)
+        s11 = (sy1 & sz1).astype(jnp.float32)
+        return (a00 + jnp.sum(r3 * s00[None], axis=1),
+                a01 + jnp.sum(r3 * s01[None], axis=1),
+                a10 + jnp.sum(r3 * s10[None], axis=1),
+                a11 + jnp.sum(r3 * s11[None], axis=1))
 
-        zero = jnp.zeros((kc, _PT), jnp.float32)
-        a00, a01, a10, a11 = jax.lax.fori_loop(
-            0, total, blk, (zero, zero, zero, zero))
-        # rows: (z-tap, y-tap, x-shift, C) major to minor
-        out_ref[0] = jnp.concatenate([a00, a01, a10, a11], axis=0)
+    zero3 = (kc, _PT)
+
+    if resident:
+        def kernel(z_ref, y_ref, x_ref, img_ref, out_ref):
+            zp, yp, oh, rlo8, zlo, total, nsg = tile_state(z_ref, y_ref,
+                                                           x_ref)
+
+            def blk(t, accs):
+                z = zlo + t // nsg
+                si = jax.lax.rem(t, nsg)
+                base = pl.multiple_of(rlo8 + si * rb, 8)
+                band = img_ref[0, :, z, pl.ds(base, rb), :]
+                return accumulate(band, zp, yp, oh, z, base, accs)
+
+            zero = jnp.zeros(zero3, jnp.float32)
+            a00, a01, a10, a11 = jax.lax.fori_loop(
+                0, total, blk, (zero, zero, zero, zero))
+            # rows: (z-tap, y-tap, x-shift, C) major to minor
+            out_ref[0] = jnp.concatenate([a00, a01, a10, a11], axis=0)
+
+        img_spec = pl.BlockSpec((1, kc, d, hp, wp),
+                                lambda i, j: (i, 0, 0, 0, 0),
+                                memory_space=pltpu.VMEM)
+    else:
+        # streamed: the packed stack stays in HBM as (N, KC, D*Hp, Wp) —
+        # a band at (z, base) is rows [z*hp + base, +RB) of the flattened
+        # row axis, an 8-aligned slice on the second-minor dim (Hp, base,
+        # RB all multiples of 8) with full Wp lanes.  Double-buffered:
+        # block t+1's DMA overlaps block t's matmul + selects.
+        img_k = img_k.reshape(n, kc, d * hp, wp)
+
+        def kernel(z_ref, y_ref, x_ref, img_ref, out_ref):
+            i = pl.program_id(0)
+            zp, yp, oh, rlo8, zlo, total, nsg = tile_state(z_ref, y_ref,
+                                                           x_ref)
+
+            def scoped(scratch, sem):
+                def get_dma(slot, t):
+                    z = zlo + t // nsg
+                    si = jax.lax.rem(t, nsg)
+                    r0 = pl.multiple_of(z * hp + rlo8 + si * rb, 8)
+                    return pltpu.make_async_copy(
+                        img_ref.at[i, :, pl.ds(r0, rb), :],
+                        scratch.at[slot], sem.at[slot])
+
+                @pl.when(total > 0)
+                def _():
+                    get_dma(0, 0).start()
+
+                def blk(t, accs):
+                    slot = jax.lax.rem(t, 2)
+
+                    @pl.when(t + 1 < total)
+                    def _():
+                        get_dma(1 - slot, t + 1).start()
+
+                    get_dma(slot, t).wait()
+                    z = zlo + t // nsg
+                    si = jax.lax.rem(t, nsg)
+                    base = pl.multiple_of(rlo8 + si * rb, 8)
+                    return accumulate(scratch[slot], zp, yp, oh, z, base,
+                                      accs)
+
+                zero = jnp.zeros(zero3, jnp.float32)
+                a00, a01, a10, a11 = jax.lax.fori_loop(
+                    0, total, blk, (zero, zero, zero, zero))
+                out_ref[0] = jnp.concatenate([a00, a01, a10, a11], axis=0)
+
+            pl.run_scoped(scoped, pltpu.VMEM((2, kc, rb, wp), jnp.float32),
+                          pltpu.SemaphoreType.DMA((2,)))
+
+        img_spec = pl.BlockSpec(memory_space=pl.ANY)
 
     # blocks land directly in the (N, 8C, T*PT) global layout so the
     # corner-major result is a free reshape (see band_gather)
@@ -1077,8 +1137,7 @@ def zband_gather(img, zidx, yidx, xidx):
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, 1, _PT), lambda i, j: (i, j, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, kc, d, hp, wp), lambda i, j: (i, 0, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
+            img_spec,
         ],
         out_specs=pl.BlockSpec((1, 8 * c, _PT), lambda i, j: (i, 0, j),
                                memory_space=pltpu.VMEM),
@@ -1092,7 +1151,11 @@ def zband_gather(img, zidx, yidx, xidx):
 def zband_scatter(g, zidx, yidx, xidx, d: int, h: int, w: int):
     """Transpose of zband_gather: g (N, 8, C, P) in (dz, dy, dx) corner
     order -> dimg (N, C, D, H, W).  Contributions past D/H/W (collapsed
-    taps; zero weights) drop."""
+    taps; zero weights) drop.  VMEM-resident accumulator when the stack
+    fits the z-band budget; otherwise the accumulator lives in HBM (flat
+    (N, KC, D*Hp, Wp), zero-init input aliased to the output) and each
+    (z, y-band) block is read-modify-written through a VMEM scratch —
+    grid steps are sequential per core, so the RMWs cannot race."""
     n, eight, c, p0 = g.shape
     assert eight == 8
     kc = 2 * c
@@ -1102,14 +1165,9 @@ def zband_scatter(g, zidx, yidx, xidx, d: int, h: int, w: int):
     # (N, 8C, T*PT) — tile j reads its PT columns via the index map
     g_r = g.reshape(n, 8 * c, p0)
     g_r, _ = _pad_to(g_r, _PT, axis=2)
+    resident = kc * d * hp * wp * 4 <= _zband_budget()
 
-    def kernel(z_ref, y_ref, x_ref, g_ref, out_ref):
-        j = pl.program_id(1)
-
-        @pl.when(j == 0)
-        def _():
-            out_ref[0] = jnp.zeros((kc, d, hp, wp), jnp.float32)
-
+    def tile_state(z_ref, y_ref, x_ref, g_ref):
         zp = z_ref[0, 0, 0, :]
         yp = y_ref[0, 0, 0, :]
         xp = x_ref[0, 0, 0, :]
@@ -1120,50 +1178,117 @@ def zband_scatter(g, zidx, yidx, xidx, d: int, h: int, w: int):
         total = nz * jnp.maximum(nseg, 0)
         nsg = jnp.maximum(nseg, 1)
         gt = g_ref[0]  # (8C, PT): (ztap, ytap, xshift, C) rows
+        return zp, yp, oh, rlo8, zlo, total, nsg, gt
+
+    def block_contrib(zp, yp, oh, gt, z, base):
         g00, g01, g10, g11 = (gt[:kc], gt[kc:2 * kc], gt[2 * kc:3 * kc],
                               gt[3 * kc:])
+        rowi = base + jax.lax.broadcasted_iota(jnp.int32, (rb, _PT), 0)
+        sy0 = (yp[None, :] == rowi)
+        sy1 = (yp[None, :] + 1 == rowi)
+        sz0 = (zp == z)[None, :]
+        sz1 = (zp + 1 == z)[None, :]
+        gb = (g00[:, None, :] * (sy0 & sz0).astype(jnp.float32)[None]
+              + g01[:, None, :] * (sy1 & sz0).astype(jnp.float32)[None]
+              + g10[:, None, :] * (sy0 & sz1).astype(jnp.float32)[None]
+              + g11[:, None, :] * (sy1 & sz1).astype(jnp.float32)[None])
+        contrib = _dot_f32(gb.reshape(kc * rb, _PT), oh,
+                           (((1,), (0,)), ((), ())))  # (KC*RB, Wp)
+        return contrib.reshape(kc, rb, wp)
 
-        def blk(t, _):
-            z = zlo + t // nsg
-            si = jax.lax.rem(t, nsg)
-            base = pl.multiple_of(rlo8 + si * rb, 8)
-            rowi = base + jax.lax.broadcasted_iota(jnp.int32, (rb, _PT), 0)
-            sy0 = (yp[None, :] == rowi)
-            sy1 = (yp[None, :] + 1 == rowi)
-            sz0 = (zp == z)[None, :]
-            sz1 = (zp + 1 == z)[None, :]
-            gb = (g00[:, None, :] * (sy0 & sz0).astype(jnp.float32)[None]
-                  + g01[:, None, :] * (sy1 & sz0).astype(jnp.float32)[None]
-                  + g10[:, None, :] * (sy0 & sz1).astype(jnp.float32)[None]
-                  + g11[:, None, :] * (sy1 & sz1).astype(jnp.float32)[None])
-            contrib = _dot_f32(gb.reshape(kc * rb, _PT), oh,
-                               (((1,), (0,)), ((), ())))  # (KC*RB, Wp)
-            out_ref[0, :, z, pl.ds(base, rb), :] += contrib.reshape(
-                kc, rb, wp)
-            return 0
+    if resident:
+        def kernel(z_ref, y_ref, x_ref, g_ref, out_ref):
+            j = pl.program_id(1)
 
-        jax.lax.fori_loop(0, total, blk, 0)
+            @pl.when(j == 0)
+            def _():
+                out_ref[0] = jnp.zeros((kc, d, hp, wp), jnp.float32)
 
-    out = pl.pallas_call(
-        kernel,
-        out_shape=jax.ShapeDtypeStruct((n, kc, d, hp, wp), jnp.float32),
-        grid=(n, n_tiles),
-        in_specs=[
-            pl.BlockSpec((1, 1, 1, _PT), lambda i, j: (i, j, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, 1, _PT), lambda i, j: (i, j, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, 1, _PT), lambda i, j: (i, j, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 8 * c, _PT), lambda i, j: (i, 0, j),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((1, kc, d, hp, wp),
-                               lambda i, j: (i, 0, 0, 0, 0),
-                               memory_space=pltpu.VMEM),
-        interpret=_interpret(),
-    )(z4, y4, x4, g_r)
-    out = out.reshape(n, 2, c, d, hp, wp)
+            zp, yp, oh, rlo8, zlo, total, nsg, gt = tile_state(
+                z_ref, y_ref, x_ref, g_ref)
+
+            def blk(t, _):
+                z = zlo + t // nsg
+                si = jax.lax.rem(t, nsg)
+                base = pl.multiple_of(rlo8 + si * rb, 8)
+                out_ref[0, :, z, pl.ds(base, rb), :] += block_contrib(
+                    zp, yp, oh, gt, z, base)
+                return 0
+
+            jax.lax.fori_loop(0, total, blk, 0)
+
+        out = pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct((n, kc, d, hp, wp), jnp.float32),
+            grid=(n, n_tiles),
+            in_specs=[
+                pl.BlockSpec((1, 1, 1, _PT), lambda i, j: (i, j, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, 1, _PT), lambda i, j: (i, j, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, 1, _PT), lambda i, j: (i, j, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 8 * c, _PT), lambda i, j: (i, 0, j),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((1, kc, d, hp, wp),
+                                   lambda i, j: (i, 0, 0, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            interpret=_interpret(),
+        )(z4, y4, x4, g_r)
+        out = out.reshape(n, 2, c, d, hp, wp)
+    else:
+        init = jnp.zeros((n, kc, d * hp, wp), jnp.float32)
+
+        def kernel(z_ref, y_ref, x_ref, g_ref, acc_in_ref, acc_ref):
+            del acc_in_ref  # aliased to acc_ref (zero-initialized)
+            i = pl.program_id(0)
+            zp, yp, oh, rlo8, zlo, total, nsg, gt = tile_state(
+                z_ref, y_ref, x_ref, g_ref)
+
+            def scoped(scratch, sem_r, sem_w):
+                def blk(t, _):
+                    z = zlo + t // nsg
+                    si = jax.lax.rem(t, nsg)
+                    base = pl.multiple_of(rlo8 + si * rb, 8)
+                    r0 = pl.multiple_of(z * hp + base, 8)
+                    blk_ref = acc_ref.at[i, :, pl.ds(r0, rb), :]
+                    rd = pltpu.make_async_copy(blk_ref, scratch, sem_r)
+                    rd.start()
+                    rd.wait()
+                    scratch[...] += block_contrib(zp, yp, oh, gt, z, base)
+                    wr = pltpu.make_async_copy(scratch, blk_ref, sem_w)
+                    wr.start()
+                    wr.wait()
+                    return 0
+
+                jax.lax.fori_loop(0, total, blk, 0)
+
+            pl.run_scoped(scoped, pltpu.VMEM((kc, rb, wp), jnp.float32),
+                          pltpu.SemaphoreType.DMA(()),
+                          pltpu.SemaphoreType.DMA(()))
+
+        out = pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct((n, kc, d * hp, wp),
+                                           jnp.float32),
+            grid=(n, n_tiles),
+            in_specs=[
+                pl.BlockSpec((1, 1, 1, _PT), lambda i, j: (i, j, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, 1, _PT), lambda i, j: (i, j, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, 1, _PT), lambda i, j: (i, j, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 8 * c, _PT), lambda i, j: (i, 0, j),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pl.ANY),
+            ],
+            out_specs=pl.BlockSpec(memory_space=pl.ANY),
+            input_output_aliases={4: 0},
+            interpret=_interpret(),
+        )(z4, y4, x4, g_r, init)
+        out = out.reshape(n, 2, c, d, hp, wp)
     dimg = out[:, 0, :, :, :h, :w]
     # the x+1 copy's column x holds the (., ., x+1) tap: shift right one
     dimg = dimg.at[:, :, :, :, 1:].add(out[:, 1, :, :, :h, :w - 1])
@@ -1672,8 +1797,12 @@ def grid_sample_3d_pallas(x, grid, padding_mode: str = "zeros",
     # (z, y-band) block — ~10x less MXU sweep than the plane kernels for
     # rotated volume warps (see the z-band section above).  Used whenever
     # the K=2 x-shifted per-group stack fits its VMEM budget.
+    # the z-band kernels handle ANY channel count / volume size in ONE
+    # call: VMEM-resident when the K=2 stack fits the budget, streamed
+    # HBM bands otherwise (the one-hot/selects are shared by all channels
+    # as extra matmul rows either way)
     zgroups = (None if os.environ.get("ADVCHAIN_ZBAND") == "0"
-               else _zband_groups(c, d, h, w))
+               else [(0, c)])
     if zgroups is not None:
         return _grid_sample_3d_zband(x, grid, zgroups, padding_mode,
                                      align_corners, tile_order)

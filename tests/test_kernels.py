@@ -98,9 +98,9 @@ def test_pallas_2d_gradients_match_torch(rng):
 
 def test_zband_vs_legacy_plane_path_equivalence(rng, monkeypatch):
     """The z-band fast path (default) and the legacy plane kernels
-    (ADVCHAIN_ZBAND=0, the fallback when the z-band stack exceeds its
-    VMEM budget) must agree bitwise-for-f32 on identical inputs; also
-    exercise the automatic fallback via a tiny budget."""
+    (ADVCHAIN_ZBAND=0) must agree bitwise-for-f32 on identical inputs;
+    the STREAMED z-band variant (forced via a tiny VMEM budget) must
+    match the resident one, values and gradients."""
     x = rng.randn(2, 2, 7, 9, 11).astype(np.float32)
     grid = (rng.rand(2, 7, 9, 11, 3).astype(np.float32) * 2.2 - 1.1)
     zband = np.asarray(grid_sample_3d_pallas(jnp.asarray(x),
@@ -110,13 +110,21 @@ def test_zband_vs_legacy_plane_path_equivalence(rng, monkeypatch):
                                               jnp.asarray(grid)))
     np.testing.assert_allclose(zband, legacy, atol=1e-6)
     monkeypatch.delenv("ADVCHAIN_ZBAND")
-    # budget too small for even one channel -> plane-path fallback
+
+    def loss(a, g):
+        return jnp.sum(grid_sample_3d_pallas(a, g) ** 2)
+
+    dres = jax.grad(loss, argnums=(0, 1))(jnp.asarray(x), jnp.asarray(grid))
+    # budget too small for residency -> streamed HBM bands in BOTH kernels
     monkeypatch.setenv("ADVCHAIN_ZBAND_BUDGET", "1024")
-    from advchain_tpu.kernels import gather_matmul as gm
-    assert gm._zband_groups(1, 7, 9, 11) is None
-    small = np.asarray(grid_sample_3d_pallas(jnp.asarray(x),
-                                             jnp.asarray(grid)))
-    np.testing.assert_allclose(small, zband, atol=1e-6)
+    streamed = np.asarray(grid_sample_3d_pallas(jnp.asarray(x),
+                                                jnp.asarray(grid)))
+    np.testing.assert_allclose(streamed, zband, atol=1e-6)
+    dstr = jax.grad(loss, argnums=(0, 1))(jnp.asarray(x), jnp.asarray(grid))
+    np.testing.assert_allclose(np.asarray(dstr[0]), np.asarray(dres[0]),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(dstr[1]), np.asarray(dres[1]),
+                               atol=1e-4)
 
 
 def test_zband_gradients_match_torch(rng):
