@@ -835,7 +835,18 @@ class ComposeAdversarialTransformSolver:
 
     def _traced_anatomy_init(self, transforms, base_key, mask, tol):
         """Traced init + per-geometric-transform rejection sampling (see
-        _get_anatomy_init_fn)."""
+        _get_anatomy_init_fn).
+
+        DIVERGENCE (reference adv_compose_solver.py:487-500): the
+        reference rejection-samples transform i while LATER transforms
+        still hold their previous episode's params (init_parameters runs
+        lazily inside the loop), so the accept/reject score mixes stale
+        state.  Here ALL transforms draw fresh params first and each
+        geometric transform is re-drawn against the fully fresh chain —
+        the score the loop thresholds is the one the episode will actually
+        run with, which makes the accepted inits honest; the reference's
+        ordering is an artifact of its stateful lazy init, not a semantic
+        choice."""
         keys = jax.random.split(base_key, len(transforms) + 1)
         params = tuple(t.init_params(k) for t, k in zip(transforms, keys))
         loop_key = keys[-1]

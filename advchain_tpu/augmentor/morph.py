@@ -25,7 +25,7 @@ import jax.numpy as jnp
 from advchain_tpu.augmentor.base import AdvTransformBase
 from advchain_tpu.augmentor.affine import sample_with_padding
 from advchain_tpu.ops.conv import gaussian_smooth
-from advchain_tpu.ops.integrate import base_grid, compose_flow, exponentiate_flow
+from advchain_tpu.ops.integrate import base_grid, exponentiate_flow
 from advchain_tpu.ops.resize import interpolate
 
 
@@ -127,7 +127,19 @@ class AdvMorph(AdvTransformBase):
         offsets = exponentiate_flow(duv, nb_steps=self.num_steps,
                                     method=self.integration_type,
                                     adaptive=(self.spatial_dims == 3))
-        composed = compose_flow(grid, offsets + grid)
+        # reference adv_morph.py:473-483 computes
+        # compose_flow(base_grid, offsets + grid) via grid_sample — but
+        # flow1 is the IDENTITY grid, and bi/trilinear interpolation of a
+        # linear function returns the sample position exactly while
+        # border padding clamps out-of-range coordinates to the boundary
+        # (= +-1 under align_corners=True).  The closed form
+        # clip(offsets + grid, -1, 1) equals it to the lerp's own f32
+        # rounding (~1e-7, the same noise floor as torch's kernel; this
+        # is the chain's LAST composition so nothing amplifies it) and
+        # its gradient (1 inside the box, 0 outside) matches the sampled
+        # form's — while sparing two full band compositions + their VJPs
+        # per precompute.
+        composed = jnp.clip(offsets + grid, -1.0, 1.0)
         if smooth:
             smoothed = gaussian_smooth(composed - grid, sigma=self.sigma,
                                        kernel_size=self.gaussian_ks, iters=1)

@@ -44,7 +44,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 __all__ = ["corner_gather", "corner_scatter", "plane_gather",
            "plane_scatter", "band_gather", "band_scatter",
-           "grid_sample_2d_pallas", "grid_sample_3d_pallas"]
+           "grid_sample_2d_pallas", "grid_sample_3d_pallas",
+           "grid_sample_2d_pallas_nearest", "grid_sample_3d_pallas_nearest"]
 
 # output-pixel tile (sublanes of the one-hot) / source chunk (lanes).
 # PT=1024 measured uniformly faster than 512 on the 2D warp shapes
@@ -966,6 +967,23 @@ def _zband_dims(c: int, d: int, h: int, w: int):
     return hp, wp, 2 * c * d * hp * wp * 4
 
 
+def _zband_channel_groups(c: int, w: int):
+    """Balanced channel groups for the z-band path.  The streamed kernel's
+    VMEM working set scales linearly with the channel count — the
+    double-buffered (2, 2C, RB, Wp) scratch plus the (8C, PT) output /
+    accumulator / gradient blocks — so very wide volumes (~100+ channels
+    at w=192) would exceed VMEM and fail Mosaic compilation in one call.
+    Groups are capped so the per-group working set stays ~4 MiB."""
+    wp = -(-w // 128) * 128
+    per_c = 256 * wp + 128 * 1024  # scratch + out/acc/grad blocks, bytes
+    cg = max(1, (4 * 1024 * 1024) // per_c)
+    if c <= cg:
+        return [(0, c)]
+    n_groups = -(-c // cg)
+    size = -(-c // n_groups)  # balanced: avoids an odd-size final group
+    return [(i, min(size, c - i)) for i in range(0, c, size)]
+
+
 
 
 def _zband_pack(img, rb):
@@ -1568,12 +1586,119 @@ def grid_sample_2d_pallas(x, grid, padding_mode: str = "zeros",
     return out.reshape(n, c, ho, wo).astype(x.dtype)
 
 
+@functools.partial(jax.jit, static_argnames=("padding_mode", "align_corners",
+                                             "tile_order"))
+def grid_sample_2d_pallas_nearest(x, grid, padding_mode: str = "zeros",
+                                  align_corners: bool = True,
+                                  tile_order: str = "rows"):
+    """Nearest-neighbor 2D grid sample (torch semantics) on the Pallas
+    band kernels: a nearest tap is the bilinear gather's corner 0 with
+    unit weight (round the coordinate, zero the other three corners), so
+    nearest-interp configs (reference adv_affine.py:79-82 legal
+    ``forward_interp='nearest'``; my_rand_augment.py warps) ride the same
+    TPU path instead of XLA's pathological gather.  Grid gradients are
+    zero (piecewise-constant), matching torch."""
+    from advchain_tpu.ops.grid_sample import _prep_coord
+
+    n, c, h, w = x.shape
+    _, ho, wo, two = grid.shape
+    assert two == 2
+    blocked = (tile_order == "blocks" and ho % _BPH == 0 and wo % _BPW == 0)
+    if blocked:
+        grid = _blockify_2d(grid, ho, wo)
+        gx, gy = grid[..., 0], grid[..., 1]
+    else:
+        gx = grid[..., 0].reshape(n, ho * wo)
+        gy = grid[..., 1].reshape(n, ho * wo)
+    ix = _prep_coord(gx, w, align_corners, padding_mode)
+    iy = _prep_coord(gy, h, align_corners, padding_mode)
+    # torch rounds half-to-even (std::nearbyint); jnp.round matches
+    ix_n = jnp.round(ix)
+    iy_n = jnp.round(iy)
+    if padding_mode == "zeros":
+        w0 = ((ix_n >= 0) & (ix_n <= w - 1) & (iy_n >= 0)
+              & (iy_n <= h - 1)).astype(jnp.float32)
+    else:
+        w0 = jnp.ones_like(ix_n)
+    xb = jnp.clip(ix_n, 0, w - 1).astype(jnp.int32)
+    yb = jnp.clip(iy_n, 0, h - 1).astype(jnp.int32)
+    zero = jnp.zeros_like(w0)
+    hp_b = -(-(h + _band_rb(2 * c)) // 8) * 8
+    wp_b = -(-w // 128) * 128
+    bgroups = _channel_groups(2, c, hp_b * wp_b) if _band_enabled() else None
+    xf = x.astype(jnp.float32)
+    if bgroups is not None:
+        weights = jnp.stack([w0, zero, zero, zero], axis=1)  # (N, 4, P)
+        payload = (yb, xb, weights)
+        parts = [_weighted_band_sample(xf[:, i:i + sz], payload, h, w)
+                 for i, sz in bgroups]
+    else:
+        base = yb * w + xb
+        weights = w0[:, None, :]  # (N, 1, P): single unit-weight tap
+        groups = _channel_groups(1, c, h * w) or [(0, c)]
+        x_flat = xf.reshape(n, c, h * w)
+        parts = [_weighted_corner_sample(x_flat[:, i:i + sz],
+                                         (base, weights), (0,), h * w)
+                 for i, sz in groups]
+    out = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=1)
+    if blocked:
+        return _deblockify_2d(out, ho, wo).astype(x.dtype)
+    return out.reshape(n, c, ho, wo).astype(x.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("padding_mode", "align_corners",
+                                             "tile_order"))
+def grid_sample_3d_pallas_nearest(x, grid, padding_mode: str = "zeros",
+                                  align_corners: bool = True,
+                                  tile_order: str = "rows"):
+    """Nearest-neighbor 3D grid sample on the z-band kernels (see the 2D
+    variant): rounded clipped bases, corner-0 unit weight."""
+    from advchain_tpu.ops.grid_sample import _prep_coord
+
+    n, c, d, h, w = x.shape
+    _, do, ho, wo, three = grid.shape
+    assert three == 3
+    p = do * ho * wo
+    blocked = (tile_order == "blocks" and do % _BPZ3 == 0
+               and ho % _BPY3 == 0 and wo % _BPX3 == 0)
+    if blocked:
+        grid = _blockify_3d(grid, do, ho, wo)
+        gx, gy, gz = grid[..., 0], grid[..., 1], grid[..., 2]
+    else:
+        gx = grid[..., 0].reshape(n, p)
+        gy = grid[..., 1].reshape(n, p)
+        gz = grid[..., 2].reshape(n, p)
+    ix = _prep_coord(gx, w, align_corners, padding_mode)
+    iy = _prep_coord(gy, h, align_corners, padding_mode)
+    iz = _prep_coord(gz, d, align_corners, padding_mode)
+    ix_n, iy_n, iz_n = jnp.round(ix), jnp.round(iy), jnp.round(iz)
+    if padding_mode == "zeros":
+        w0 = ((ix_n >= 0) & (ix_n <= w - 1) & (iy_n >= 0) & (iy_n <= h - 1)
+              & (iz_n >= 0) & (iz_n <= d - 1)).astype(jnp.float32)
+    else:
+        w0 = jnp.ones_like(ix_n)
+    xb = jnp.clip(ix_n, 0, w - 1).astype(jnp.int32)
+    yb = jnp.clip(iy_n, 0, h - 1).astype(jnp.int32)
+    zb = jnp.clip(iz_n, 0, d - 1).astype(jnp.int32)
+    zero = jnp.zeros_like(w0)
+    weights = jnp.stack([w0] + [zero] * 7, axis=1)  # (N, 8, P)
+    xf = x.astype(jnp.float32)
+    parts = [_weighted_zband_sample(xf[:, i:i + sz],
+                                    (zb, yb, xb, weights), d, h, w)
+             for i, sz in _zband_channel_groups(c, w)]
+    out = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=1)
+    if blocked:
+        return _deblockify_3d(out, do, ho, wo).astype(x.dtype)
+    return out.reshape(n, c, do, ho, wo).astype(x.dtype)
+
+
 # 3D blocked output-tile patch (1 z-plane x _BPY3 x _BPX3 = _PT points).
 # Same rationale as the 2D _BPH x _BPW patch: a rotated 3D affine spreads a
 # row-major 512-pt tile over ~sin(th)*W source rows (and several z planes),
 # degenerating the plane kernel's band windows (measured: 44 -> 258 ms fwd
-# at 10 deg, c=1, 12x192x192).  A (1, 8, 64) patch keeps the in-plane band
-# at ~(8 + sin(th)*64) rows and never straddles output z planes.
+# at 10 deg, c=1, 12x192x192).  The (1, _PT//64, 64) patch — (1, 16, 64)
+# at the default PT=1024 — keeps the in-plane band at
+# ~(_PT//64 + sin(th)*64) rows and never straddles output z planes.
 _BPZ3, _BPY3, _BPX3 = 1, _PT // 64, 64
 assert _BPZ3 * _BPY3 * _BPX3 == _PT
 
@@ -1797,12 +1922,13 @@ def grid_sample_3d_pallas(x, grid, padding_mode: str = "zeros",
     # (z, y-band) block — ~10x less MXU sweep than the plane kernels for
     # rotated volume warps (see the z-band section above).  Used whenever
     # the K=2 x-shifted per-group stack fits its VMEM budget.
-    # the z-band kernels handle ANY channel count / volume size in ONE
-    # call: VMEM-resident when the K=2 stack fits the budget, streamed
-    # HBM bands otherwise (the one-hot/selects are shared by all channels
-    # as extra matmul rows either way)
+    # the z-band kernels handle ANY volume size: VMEM-resident when the
+    # K=2 stack fits the budget, streamed HBM bands otherwise (the
+    # one-hot/selects are shared by all channels of a group as extra
+    # matmul rows); very wide channel counts are split into groups whose
+    # streamed working set fits VMEM (_zband_channel_groups)
     zgroups = (None if os.environ.get("ADVCHAIN_ZBAND") == "0"
-               else [(0, c)])
+               else _zband_channel_groups(c, w))
     if zgroups is not None:
         return _grid_sample_3d_zband(x, grid, zgroups, padding_mode,
                                      align_corners, tile_order)

@@ -60,7 +60,8 @@ class SegmentationModel:
 
     # -------------------------------------------------------- construction
     @classmethod
-    def create(cls, module, input_shape, rng=None, train: bool = False):
+    def create(cls, module, input_shape, rng=None, train: bool = False,
+               compute_dtype=None):
         """Initialize parameters from a sample input shape (NCHW/NCDHW)."""
         rng = rng if rng is not None else jax.random.PRNGKey(0)
         k_params, k_drop, k_rest = jax.random.split(rng, 3)
@@ -68,7 +69,8 @@ class SegmentationModel:
                                 jnp.zeros(input_shape, jnp.float32),
                                 train=False)
         return cls(module, variables["params"],
-                   variables.get("batch_stats"), rng=k_rest)
+                   variables.get("batch_stats"), rng=k_rest,
+                   compute_dtype=compute_dtype)
 
     def _variables(self):
         v = {"params": self.params}
@@ -152,14 +154,23 @@ class SegmentationModel:
 
     def apply_train(self, params, batch_stats, x, dropout_rng):
         """Pure training-mode apply returning (logits, new_batch_stats);
-        use inside jitted train steps."""
+        use inside jitted train steps.  Honors ``compute_dtype`` (the
+        bf16 speed mode): params/activations cast down for the network
+        body, logits AND the mutated batch statistics cast back to f32
+        (master state stays full-precision across steps)."""
         variables = {"params": params}
         if batch_stats:
             variables["batch_stats"] = batch_stats
         out, mutated = self.module.apply(
-            variables, x, train=True, rngs={"dropout": dropout_rng},
-            mutable=["batch_stats"])
-        return out, mutated.get("batch_stats", batch_stats)
+            self._cast_in(variables), self._cast_in(x), train=True,
+            rngs={"dropout": dropout_rng}, mutable=["batch_stats"])
+        new_bs = mutated.get("batch_stats", batch_stats)
+        if self.compute_dtype is not None:
+            new_bs = jax.tree_util.tree_map(
+                lambda a: a.astype(jnp.float32)
+                if hasattr(a, "dtype") and a.dtype == self.compute_dtype
+                else a, new_bs)
+        return self._cast_out(out), new_bs
 
     # ----------------------------------------- reference model utilities
     def adaptive_bn(self, if_enable: bool = False):

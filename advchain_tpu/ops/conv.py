@@ -111,7 +111,10 @@ def _axis_smooth(x, k1, axis: int):
     ks = k1.shape[0]
     r = (ks - 1) // 2
     pads = [(0, 0)] * x.ndim
-    pads[axis] = (r, r)
+    # asymmetric (r, ks-1-r) keeps even kernel sizes working (SAME
+    # padding semantics, matching the depthwise-conv path this replaced);
+    # for odd ks this is the usual symmetric (r, r)
+    pads[axis] = (r, ks - 1 - r)
     xp = jnp.pad(x, pads)
     size = x.shape[axis]
     out = None

@@ -90,6 +90,7 @@ def _on_tpu_device() -> bool:
 
 _FORCE_IMPL = None  # 'xla' | 'pallas' | None; see force_impl()
 _SPATIAL_MESH = None  # a ('data', 'space') Mesh; see spatial_sampling()
+_SPATIAL_MAX_DISP = None  # static displacement bound for the halo path
 
 
 @contextlib.contextmanager
@@ -110,7 +111,7 @@ def force_impl(impl):
 
 
 @contextlib.contextmanager
-def spatial_sampling(mesh):
+def spatial_sampling(mesh, max_disp=None):
     """Route grid_sample through the shard_map spatial wrapper while tracing.
 
     Under a ('data', 'space') mesh a bare pallas_call has no SPMD
@@ -118,23 +119,30 @@ def spatial_sampling(mesh):
     the Pallas path or replicate the call.  Inside this context every
     bilinear grid_sample whose shapes divide the 'space' axis is traced as
     ``parallel.spatial.sharded_grid_sample`` — an explicit shard_map that
-    all-gathers the source over ICI and runs the Pallas sampler PER SHARD
+    exchanges the source over ICI and runs the Pallas sampler PER SHARD
     (grid/output stay sharded).  Non-dividing calls fall back to the XLA
     sampler, which GSPMD partitions natively.  Pass ``mesh=None`` to
     suppress routing (used inside the wrapper itself to avoid recursion).
+
+    ``max_disp``: optional STATIC bound (normalized grid units; see
+    ``parallel.spatial.chain_displacement_bound``) on every routed warp's
+    displacement |sample - output position|.  When the implied halo is
+    smaller than a shard, sharded_grid_sample exchanges only neighbour
+    halo bands instead of all-gathering the full source volume — the
+    memory lever spatial sharding exists for.  None = always all-gather.
     """
-    global _SPATIAL_MESH
-    prev, _SPATIAL_MESH = _SPATIAL_MESH, mesh
+    global _SPATIAL_MESH, _SPATIAL_MAX_DISP
+    prev = (_SPATIAL_MESH, _SPATIAL_MAX_DISP)
+    _SPATIAL_MESH, _SPATIAL_MAX_DISP = mesh, max_disp
     try:
         yield
     finally:
-        _SPATIAL_MESH = prev
+        _SPATIAL_MESH, _SPATIAL_MAX_DISP = prev
 
 
 def _spatial_route(x, grid):
-    """The active spatial mesh when this call can ride the shard_map
-    wrapper (leading output/source spatial axes divide |space|), else
-    None."""
+    """(mesh, max_disp) when this call can ride the shard_map wrapper
+    (leading output/source spatial axes divide |space|), else None."""
     mesh = _SPATIAL_MESH
     if mesh is None:
         return None
@@ -248,7 +256,8 @@ def grid_sample_2d(x, grid, mode: str = "bilinear", padding_mode: str = "zeros",
             return sharded_grid_sample(x, grid, mesh, mode=mode,
                                        padding_mode=padding_mode,
                                        align_corners=align_corners,
-                                       tile_order=tile_order)
+                                       tile_order=tile_order,
+                                       max_disp=_SPATIAL_MAX_DISP)
         if _SPATIAL_MESH is not None:
             # under a space mesh but shapes don't divide: XLA partitions
             # its own gather; a pallas_call would be replicated
@@ -260,6 +269,15 @@ def grid_sample_2d(x, grid, mode: str = "bilinear", padding_mode: str = "zeros",
             return grid_sample_2d_pallas(x, grid, padding_mode=padding_mode,
                                          align_corners=align_corners,
                                          tile_order=tile_order)
+    elif mode == "nearest" and _SPATIAL_MESH is None and _use_pallas():
+        # nearest is a single unit-weight tap on the same band kernels —
+        # without this, nearest-interp configs (a legal reference setting,
+        # adv_affine.py:79-82) land on XLA's pathological TPU gather
+        from advchain_tpu.kernels.gather_matmul import \
+            grid_sample_2d_pallas_nearest
+        return grid_sample_2d_pallas_nearest(
+            x, grid, padding_mode=padding_mode,
+            align_corners=align_corners, tile_order=tile_order)
     return _grid_sample_2d_xla(x, grid, mode, padding_mode, align_corners)
 
 
@@ -393,7 +411,8 @@ def grid_sample_3d(x, grid, mode: str = "bilinear", padding_mode: str = "zeros",
             return sharded_grid_sample(x, grid, mesh, mode=mode,
                                        padding_mode=padding_mode,
                                        align_corners=align_corners,
-                                       tile_order=tile_order)
+                                       tile_order=tile_order,
+                                       max_disp=_SPATIAL_MAX_DISP)
         if _SPATIAL_MESH is not None:
             return _grid_sample_3d_xla(x, grid, mode, padding_mode,
                                        align_corners)
@@ -403,6 +422,13 @@ def grid_sample_3d(x, grid, mode: str = "bilinear", padding_mode: str = "zeros",
             return grid_sample_3d_pallas(x, grid, padding_mode=padding_mode,
                                          align_corners=align_corners,
                                          tile_order=tile_order)
+    elif mode == "nearest" and _SPATIAL_MESH is None and _use_pallas():
+        # single unit-weight tap on the z-band kernels (see 2D dispatch)
+        from advchain_tpu.kernels.gather_matmul import \
+            grid_sample_3d_pallas_nearest
+        return grid_sample_3d_pallas_nearest(
+            x, grid, padding_mode=padding_mode,
+            align_corners=align_corners, tile_order=tile_order)
     return _grid_sample_3d_xla(x, grid, mode, padding_mode, align_corners)
 
 

@@ -63,7 +63,7 @@ def _stencil_enabled() -> bool:
     return os.environ.get("ADVCHAIN_STENCIL", "1") != "0"
 
 
-def compose_flow(flow1, flow2):
+def compose_flow(flow1, flow2, stencil_radius: int | None = None):
     """h = f(g(x)): sample flow1 at the positions given by flow2.
 
     flow*: (N, d, *spatial) channel-first deformation grids in [-1, 1].
@@ -77,6 +77,12 @@ def compose_flow(flow1, flow2):
     no MXU) and everything else through the sampler kernels.  Both
     branches compute exact bilinear-with-border, so this is a pure perf
     dispatch — results are identical to f32 rounding for ANY input.
+
+    ``stencil_radius`` overrides the stencil tier's radius (and its cond
+    threshold) per call site: scaling-and-squaring passes a PER-STEP
+    ladder (the step-k displacement is ~|duv|/2^(n-k), so late steps get
+    a wider tier instead of falling off to the band kernels — see
+    exponentiate_flow).  None = the default tier (2D: 2, 3D: 1).
     """
     d = flow1.shape[1]
     if d == 2:
@@ -91,6 +97,7 @@ def compose_flow(flow1, flow2):
             return out.astype(f.dtype)  # XLA path promotes bf16 storage
         if not (_stencil_enabled() and flow1.shape == flow2.shape):
             return band(flow1)
+        radius = 2 if stencil_radius is None else int(stencil_radius)
         h, w = flow1.shape[2:]
         base = base_grid(1, (h, w), dtype=flow2.dtype)
         u = flow2 - base
@@ -104,8 +111,8 @@ def compose_flow(flow1, flow2):
         # episode program's HBM allocation past capacity (78% frag OOM).
         stencil = jax.checkpoint(stencil_warp_2d, static_argnums=(2, 3))
         return lax.cond(
-            dpx < 2.0 - 1e-3,
-            lambda f: stencil(f, flow2, 2, "first"),
+            dpx < float(radius) - 1e-3,
+            lambda f: stencil(f, flow2, radius, "first"),
             band, flow1)
 
     def band3(f):
@@ -115,6 +122,7 @@ def compose_flow(flow1, flow2):
         return out.astype(f.dtype)  # XLA path promotes bf16 storage
     if not (_stencil_enabled() and flow1.shape == flow2.shape):
         return band3(flow1)
+    radius = 1 if stencil_radius is None else int(stencil_radius)
     dd, h, w = flow1.shape[2:]
     base = base_grid(1, (dd, h, w), dtype=flow2.dtype)
     u = flow2 - base
@@ -127,9 +135,27 @@ def compose_flow(flow1, flow2):
     # most compositions sub-voxel already and the doubling sequence skips
     # the (1, 2) px window — so keep the simpler program.
     stencil3 = jax.checkpoint(stencil_warp_3d, static_argnums=(2, 3))
-    return lax.cond(dpx < 1.0 - 1e-3,
-                    lambda f: stencil3(f, flow2, 1, "first"),
+    return lax.cond(dpx < float(radius) - 1e-3,
+                    lambda f: stencil3(f, flow2, radius, "first"),
                     band3, flow1)
+
+
+def _ss_ladder(spatial_dims: int):
+    """Per-step stencil radii for the LAST scaling-and-squaring steps
+    (trace-time; ADVCHAIN_SS_LADDER="4,8" overrides, "" disables).
+
+    Step k's displacement is ~|duv|/2^(n-k): only the last 2-3 steps
+    exceed the default stencil tier, and widening THEIR tier (the VPU
+    stencil scales as (2R+1)^2 while the band kernels pay a full
+    MXU band sweep regardless) keeps typical morph chains entirely off
+    the gather path.  The runtime cond still guards each step — a larger
+    |duv| falls back to the band kernels exactly as before.  3D default:
+    no ladder (the adaptive step growth keeps compositions sub-voxel and
+    the 3D episode is already at ~88% measured HBM utilization)."""
+    ov = os.environ.get("ADVCHAIN_SS_LADDER")
+    if ov is not None:
+        return tuple(int(r) for r in ov.split(",") if r.strip())
+    return (4, 8) if spatial_dims == 2 else ()
 
 
 def exponentiate_flow(duv, nb_steps: int = 8, method: str = "ss",
@@ -166,10 +192,13 @@ def exponentiate_flow(duv, nb_steps: int = 8, method: str = "ss",
     # phi_final - (grid + duv/2^n), replicated here as `phi - phi0`.
     if method == "ss":
         if not adaptive:
+            ladder = _ss_ladder(d)
             phi0 = grid + duv / (2.0 ** nb_steps)
             phi = _st(phi0)
-            for _ in range(nb_steps):
-                phi = _st(compose_flow(phi, phi))
+            for i in range(nb_steps):
+                li = i - (nb_steps - len(ladder))  # index into the ladder
+                r = ladder[li] if li >= 0 else None
+                phi = _st(compose_flow(phi, phi, stencil_radius=r))
             return phi.astype(duv.dtype) - phi0
         norm = jnp.linalg.norm(duv.reshape(-1))
         needed = jnp.ceil(jnp.log2(jnp.maximum(norm, 1e-30) / 0.5))

@@ -50,7 +50,7 @@ __all__ = ["TrainState", "make_adversarial_train_step",
            "make_supervised_train_step"]
 
 
-def _mesh_shardings(mesh: Mesh, axis_name: str):
+def _mesh_shardings(mesh: Mesh, axis_name: str, transforms=None):
     """(replicated, batch, traced_fn_wrapper) shardings for a train step.
 
     1-D mesh: batch dim 0 over ``axis_name`` (prefix spec, any batch keys).
@@ -59,9 +59,14 @@ def _mesh_shardings(mesh: Mesh, axis_name: str):
     additionally sharded over 'space' — the batch must then be exactly
     {'image', 'label'}.  Spatial programs trace every bilinear grid_sample
     through ``parallel.spatial.sharded_grid_sample`` (an explicit
-    shard_map: all-gather the source over ICI, run the Pallas sampler per
+    shard_map: exchange the source over ICI, run the Pallas sampler per
     shard) — a bare pallas_call has no SPMD partitioning rule, and the XLA
     sampler's gather is the exact pathology the kernels exist to avoid.
+
+    When ``transforms`` is given, the chain's static displacement bound
+    (``parallel.spatial.chain_displacement_bound``) rides the sampling
+    context: warps whose halo fits inside one shard exchange neighbour
+    bands instead of all-gathering the whole volume.
     """
     repl = NamedSharding(mesh, P())
     spatial = ("space" in mesh.axis_names
@@ -72,10 +77,14 @@ def _mesh_shardings(mesh: Mesh, axis_name: str):
         "image": NamedSharding(mesh, P(axis_name, None, "space")),
         "label": NamedSharding(mesh, P(axis_name, "space")),
     }
+    max_disp = None
+    if transforms is not None:
+        from advchain_tpu.parallel.spatial import chain_displacement_bound
+        max_disp = chain_displacement_bound(transforms)
 
     def trace_with_sharded_sampler(fn):
         def wrapper(*args, **kwargs):  # runs at trace time under jit
-            with _spatial_sampling(mesh):
+            with _spatial_sampling(mesh, max_disp=max_disp):
                 return fn(*args, **kwargs)
         return wrapper
 
@@ -97,15 +106,16 @@ class TrainState(NamedTuple):
 
 def _frozen_apply(model, params, batch_stats, dropout_rng):
     """The inner-loop fixed network: current params (stop-gradient at call
-    sites), batch-stats BN, fixed dropout rng."""
+    sites), batch-stats BN, fixed dropout rng.  Honors the model's
+    ``compute_dtype`` (bf16 speed mode): casts in, returns f32 logits."""
     variables = {"params": params}
     if batch_stats:
         variables["batch_stats"] = batch_stats
 
     def net(x):
-        return model.module.apply(variables, x, train=True,
-                                  rngs={"dropout": dropout_rng},
-                                  mutable=False)
+        return model._cast_out(model.module.apply(
+            model._cast_in(variables), model._cast_in(x), train=True,
+            rngs={"dropout": dropout_rng}, mutable=False))
 
     return net
 
@@ -192,7 +202,8 @@ def make_adversarial_train_step(
     if mesh is None:
         return jax.jit(train_step,
                        donate_argnums=(0,) if donate_state else ())
-    repl, shard, wrap = _mesh_shardings(mesh, axis_name)
+    repl, shard, wrap = _mesh_shardings(mesh, axis_name,
+                                        transforms=transforms)
     return jax.jit(
         wrap(train_step),
         in_shardings=(repl, shard, repl),

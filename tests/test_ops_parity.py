@@ -54,7 +54,7 @@ def test_grid_sample_3d(rng, padding_mode):
     np.testing.assert_allclose(ours, theirs, atol=TOL)
 
 
-@pytest.mark.parametrize("radius", [1, 2])
+@pytest.mark.parametrize("radius", [1, 2, 4, 8])
 def test_stencil_warp_2d_matches_torch(rng, radius):
     """stencil_warp_2d (compose_flow's sub-``radius``-px fast path,
     ops/grid_sample.py) must be exactly bilinear-with-border: torch oracle
@@ -148,6 +148,29 @@ def test_compose_flow_stencil_dispatch_equivalence(rng, monkeypatch):
                                        adaptive=True)
     assert float(jnp.max(jnp.abs(on2 - off2))) < 1e-4
     assert float(jnp.max(jnp.abs(on3 - off3))) < 1e-4
+
+
+def test_ss_radius_ladder_equivalence(rng, monkeypatch):
+    """The per-step stencil-radius ladder (default 2D: last steps at R=4,
+    R=8) is a pure perf fork too: a displacement big enough that the old
+    single R=2 tier pushed the last steps onto the sampler path must give
+    the same result through the wide stencil tiers, and an
+    over-the-ladder displacement must still fall back cleanly."""
+    from advchain_tpu.ops import integrate
+
+    # |duv| ~ 6 px at 41x43: steps 6-7 exceed R=2 but fit the 4/8 ladder
+    duv = jnp.asarray(0.30 * rng.rand(1, 2, 41, 43).astype(np.float32))
+    with monkeypatch.context() as m:
+        m.setenv("ADVCHAIN_SS_LADDER", "4,8")
+        on = integrate.exponentiate_flow(duv, nb_steps=8, method="ss")
+        big = integrate.exponentiate_flow(duv * 8, nb_steps=8, method="ss")
+    with monkeypatch.context() as m:
+        m.setenv("ADVCHAIN_STENCIL", "0")
+        off = integrate.exponentiate_flow(duv, nb_steps=8, method="ss")
+        big_off = integrate.exponentiate_flow(duv * 8, nb_steps=8,
+                                              method="ss")
+    assert float(jnp.max(jnp.abs(on - off))) < 1e-4
+    assert float(jnp.max(jnp.abs(big - big_off))) < 1e-4
 
 
 def test_grid_sample_grad_wrt_grid(rng):

@@ -90,6 +90,134 @@ def test_sharded_grid_sample_3d_matches_dense(cpu_devices):
                                rtol=1e-6, atol=1e-6)
 
 
+def _near_identity_grid(shape_sp, n, max_disp, seed):
+    """Random grid whose displacement stays within ``max_disp`` normalized
+    units of the identity."""
+    from advchain_tpu.ops.integrate import base_grid
+    r = np.random.RandomState(seed)
+    d = len(shape_sp)
+    u = (r.rand(n, d, *shape_sp).astype(np.float32) * 2 - 1) * max_disp
+    flow = np.asarray(base_grid(n, shape_sp)) + u
+    return jnp.asarray(np.moveaxis(flow, 1, -1))
+
+
+def _uses_all_gather(fn, *args):
+    return "all_gather" in str(jax.make_jaxpr(fn)(*args))
+
+
+@pytest.mark.parametrize("padding_mode", ["zeros", "border"])
+def test_sharded_grid_sample_halo_matches_dense_2d(cpu_devices,
+                                                   padding_mode):
+    """With a static displacement bound, the halo path (neighbour band
+    exchange, NO all-gather) must match the dense sampler (VERDICT r4
+    weak #3).  The slight normalized->local-slab coordinate roundtrip
+    costs ~1e-5 px, hence the 1e-4 tolerance (same bar as the
+    torch-oracle sampler tests)."""
+    mesh = _mesh(cpu_devices)  # space=4 over H=32 -> d_loc=8
+    x = _rand((2, 3, 32, 16), seed=21)
+    grid = _near_identity_grid((32, 16), 2, 0.12, seed=22)
+    dense = grid_sample(x, grid, padding_mode=padding_mode)
+    halo = sharded_grid_sample(x, grid, mesh, padding_mode=padding_mode,
+                               max_disp=0.13)
+    np.testing.assert_allclose(np.asarray(halo), np.asarray(dense),
+                               rtol=1e-5, atol=1e-4)
+    # structural: the halo path must NOT all-gather the source
+    assert not _uses_all_gather(
+        lambda a, g: sharded_grid_sample(a, g, mesh,
+                                         padding_mode=padding_mode,
+                                         max_disp=0.13), x, grid)
+    assert _uses_all_gather(
+        lambda a, g: sharded_grid_sample(a, g, mesh,
+                                         padding_mode=padding_mode),
+        x, grid)
+
+
+def test_sharded_grid_sample_halo_matches_dense_3d(cpu_devices):
+    mesh = _mesh(cpu_devices, n_data=2, n_space=4)  # D=16 -> d_loc=4
+    x = _rand((2, 2, 16, 10, 12), seed=23)
+    grid = _near_identity_grid((16, 10, 12), 2, 0.08, seed=24)
+    dense = grid_sample(x, grid)
+    halo = sharded_grid_sample(x, grid, mesh, max_disp=0.1)
+    np.testing.assert_allclose(np.asarray(halo), np.asarray(dense),
+                               rtol=1e-5, atol=1e-4)
+
+
+def test_sharded_grid_sample_halo_grads_match_dense(cpu_devices):
+    mesh = _mesh(cpu_devices)
+    x = _rand((2, 2, 16, 8), seed=25)
+    grid = _near_identity_grid((16, 8), 2, 0.1, seed=26)
+
+    gx_d, gg_d = jax.grad(
+        lambda a, g: jnp.sum(grid_sample(a, g) ** 2),
+        argnums=(0, 1))(x, grid)
+    gx_s, gg_s = jax.grad(
+        lambda a, g: jnp.sum(
+            sharded_grid_sample(a, g, mesh, max_disp=0.15) ** 2),
+        argnums=(0, 1))(x, grid)
+    np.testing.assert_allclose(np.asarray(gx_s), np.asarray(gx_d),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(gg_s), np.asarray(gg_d),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_sharded_grid_sample_big_disp_falls_back(cpu_devices):
+    """A bound whose halo does not fit one shard must fall back to the
+    all-gather path (still correct for arbitrary global warps)."""
+    mesh = _mesh(cpu_devices)
+    x = _rand((2, 1, 32, 16), seed=27)
+    grid = _rand((2, 32, 16, 2), seed=28, lo=-1.1, hi=1.1)
+    dense = grid_sample(x, grid)
+    out = sharded_grid_sample(x, grid, mesh, max_disp=1.5)  # halo >= d_loc
+    np.testing.assert_allclose(np.asarray(out), np.asarray(dense),
+                               rtol=1e-6, atol=1e-6)
+    assert _uses_all_gather(
+        lambda a, g: sharded_grid_sample(a, g, mesh, max_disp=1.5), x, grid)
+
+
+def test_halo_memory_headroom(cpu_devices):
+    """The stated point of the halo path: per-device live source planes
+    (d_loc + 2*halo) must be well under the full volume."""
+    from advchain_tpu.parallel.spatial import _halo_planes
+    size0, n_space, max_disp = 256, 8, 0.05
+    d_loc = size0 // n_space
+    halo = _halo_planes(max_disp, size0)
+    assert halo < d_loc
+    assert d_loc + 2 * halo < size0 // 2  # 46 planes vs 256
+
+
+def test_chain_displacement_bound_covers_samples():
+    """Property: actual per-warp displacements of randomly drawn morph and
+    affine transforms stay within the static bound."""
+    from advchain_tpu.augmentor import AdvAffine, AdvMorph
+    from advchain_tpu.ops.integrate import base_grid
+    from advchain_tpu.parallel import chain_displacement_bound
+
+    size = [2, 1, 24, 24]
+    morph = AdvMorph(config_dict={"epsilon": 1.0, "data_size": size,
+                                  "vector_size": [6, 6]}, seed=0)
+    affine = AdvAffine(config_dict={"rot": 0.2, "scale_x": 0.15,
+                                    "scale_y": 0.15, "shift_x": 0.1,
+                                    "shift_y": 0.1, "data_size": size},
+                       seed=1)
+    bound = chain_displacement_bound([morph, affine])
+    assert bound is not None and 0 < bound < 2.5
+    base = np.asarray(base_grid(2, (24, 24)))
+    for seed in range(3):
+        key = jax.random.PRNGKey(seed)
+        mp = morph.init_params(key)
+        dxy_f, dxy_b = morph.precompute(mp)
+        for dxy in (dxy_f, dxy_b):
+            disp = float(jnp.max(jnp.abs(dxy - base)))
+            assert disp <= bound + 1e-5, (seed, disp, bound)
+        ap = affine.init_params(key)
+        fwd, inv = affine.precompute(ap)
+        from advchain_tpu.ops.affine import affine_grid
+        for m in (fwd, inv):
+            g = np.asarray(affine_grid(m, tuple(size), align_corners=True))
+            disp = np.abs(np.moveaxis(g, -1, 1) - base).max()
+            assert disp <= bound + 1e-5, (seed, disp, bound)
+
+
 def test_sharded_grid_sample_grads_match_dense(cpu_devices):
     """The chain differentiates through every warp: grads w.r.t. BOTH the
     source volume and the sampling grid must survive shard_map (ppermute /
