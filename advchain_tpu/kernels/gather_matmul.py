@@ -140,20 +140,22 @@ def corner_gather(img, idx, offsets: Tuple[int, ...]):
 
     def kernel(idx_ref, img_ref, out_ref):
         pix = idx_ref[0, 0, 0, :]  # (PT,) — the j-th tile via index_map
-        lane = jax.lax.broadcasted_iota(jnp.int32, (_PT, _CH), 1)
+        # transposed (CH, PT) one-hot: both matmul operands in natural MXU
+        # layout (LHS K-minor, RHS K-major), no per-chunk RHS relayout
+        lane = jax.lax.broadcasted_iota(jnp.int32, (_CH, _PT), 0)
         # dynamic band window: only chunks covering [min, max] of this tile
         lo = jnp.min(pix) // _CH
         hi = jnp.minimum(jnp.max(pix) // _CH + 1, n_chunks)
 
         def body(ci, acc):
             base = pl.multiple_of(ci * _CH, _CH)
-            oh = (pix[:, None] - base == lane).astype(jnp.float32)
+            oh = (pix[None, :] - base == lane).astype(jnp.float32)
             rhs = img_ref[0, :, :, pl.ds(base, _CH)]  # (K, C, CH)
             rhs = rhs.reshape(k * c, _CH)
-            # (K*C, CH) @ (PT, CH)^T -> (K*C, PT): keeping PT on the minor
+            # (K*C, CH) @ (CH, PT) -> (K*C, PT): keeping PT on the minor
             # (lane) dim makes the VMEM accumulator and HBM write tile-dense
             # (a (PT, K*C) layout pads lanes K*C -> 128)
-            return acc + _dot_f32(rhs, oh, (((1,), (1,)), ((), ())))
+            return acc + _dot_f32(rhs, oh, (((1,), (0,)), ((), ())))
 
         acc = jax.lax.fori_loop(
             lo, hi, body, jnp.zeros((k * c, _PT), jnp.float32))
@@ -200,7 +202,7 @@ def _corner_gather_streamed(img_k, idx_4d, k: int, c: int, sp: int,
     def kernel(idx_ref, img_ref, out_ref):
         i = pl.program_id(0)
         pix = idx_ref[0, 0, 0, :]  # (PT,)
-        lane = jax.lax.broadcasted_iota(jnp.int32, (_PT, _CH), 1)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (_CH, _PT), 0)
         lo = jnp.min(pix) // _CH
         hi = jnp.minimum(jnp.max(pix) // _CH + 1, n_chunks)
 
@@ -222,9 +224,9 @@ def _corner_gather_streamed(img_k, idx_4d, k: int, c: int, sp: int,
 
                 get_dma(slot, ci).wait()
                 base = pl.multiple_of(ci * _CH, _CH)
-                oh = (pix[:, None] - base == lane).astype(jnp.float32)
+                oh = (pix[None, :] - base == lane).astype(jnp.float32)
                 rhs = scratch[slot]  # (K*C, CH)
-                return acc + _dot_f32(rhs, oh, (((1,), (1,)), ((), ())))
+                return acc + _dot_f32(rhs, oh, (((1,), (0,)), ((), ())))
 
             out_ref[0, 0] = jax.lax.fori_loop(
                 lo, hi, body, jnp.zeros((k * c, _PT), jnp.float32))
@@ -453,7 +455,7 @@ def plane_gather(img, zidx, yxidx, offsets: Tuple[int, ...]):
 
     def make_body(read_chunk):
         def tile_acc(zp, yxp):
-            lane = jax.lax.broadcasted_iota(jnp.int32, (_PT, _CH), 1)
+            lane = jax.lax.broadcasted_iota(jnp.int32, (_CH, _PT), 0)
             zlo = jnp.maximum(jnp.min(zp), 0)  # -1 pads match nothing
             zhi = jnp.max(zp) + 1
             lo = jnp.min(yxp) // _CH
@@ -462,12 +464,12 @@ def plane_gather(img, zidx, yxidx, offsets: Tuple[int, ...]):
             def zbody(z, acc):
                 def cbody(ci, acc):
                     base = pl.multiple_of(ci * _CH, _CH)
-                    oh = ((zp[:, None] == z)
-                          & (yxp[:, None] - base == lane)).astype(
+                    oh = ((zp[None, :] == z)
+                          & (yxp[None, :] - base == lane)).astype(
                               jnp.float32)
                     rhs = read_chunk(z, base)  # (K*C, CH)
                     return acc + _dot_f32(rhs,
-                                          oh, (((1,), (1,)), ((), ())))
+                                          oh, (((1,), (0,)), ((), ())))
 
                 return jax.lax.fori_loop(lo, hi, cbody, acc)
 
@@ -501,7 +503,7 @@ def plane_gather(img, zidx, yxidx, offsets: Tuple[int, ...]):
             i = pl.program_id(0)
             zp = z_ref[0, 0, 0, :]
             yxp = yx_ref[0, 0, 0, :]
-            lane = jax.lax.broadcasted_iota(jnp.int32, (_PT, _CH), 1)
+            lane = jax.lax.broadcasted_iota(jnp.int32, (_CH, _PT), 0)
             zlo = jnp.maximum(jnp.min(zp), 0)  # -1 pads match nothing
             zhi = jnp.max(zp) + 1
             lo = jnp.min(yxp) // _CH
@@ -533,11 +535,11 @@ def plane_gather(img, zidx, yxidx, offsets: Tuple[int, ...]):
                     z = zlo + t // ncb
                     ci = lo + jax.lax.rem(t, ncb)
                     base = pl.multiple_of(ci * _CH, _CH)
-                    oh = ((zp[:, None] == z)
-                          & (yxp[:, None] - base == lane)).astype(
+                    oh = ((zp[None, :] == z)
+                          & (yxp[None, :] - base == lane)).astype(
                               jnp.float32)
                     return acc + _dot_f32(scratch[slot], oh,
-                                          (((1,), (1,)), ((), ())))
+                                          (((1,), (0,)), ((), ())))
 
                 out_ref[0, 0] = jax.lax.fori_loop(
                     0, total, body, jnp.zeros((kcp, _PT), jnp.float32))
@@ -820,8 +822,13 @@ def band_gather(img, yidx, xidx):
     def kernel(y_ref, x_ref, img_ref, out_ref):
         yp = y_ref[0, 0, 0, :]
         xp = x_ref[0, 0, 0, :]
-        lane = jax.lax.broadcasted_iota(jnp.int32, (_PT, wp), 1)
-        oh = (xp[:, None] == lane).astype(jnp.bfloat16)
+        # one-hot built TRANSPOSED (Wp, PT): the matmul then contracts
+        # natural-layout operands — LHS (M, Wp) K-minor, RHS (Wp, PT)
+        # K-major — so Mosaic issues no RHS relayout per tile (measured
+        # -23% on the c=1 warp, -21% c=2, -12% c=5 vs the (PT, Wp)
+        # orientation; scripts/band_variants_bench.py)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (wp, _PT), 0)
+        oh = (xp[None, :] == lane).astype(jnp.bfloat16)
         rlo8, nseg = _band_ranges(yp, rb)
 
         def seg(si, accs):
@@ -829,7 +836,7 @@ def band_gather(img, yidx, xidx):
             base = pl.multiple_of(rlo8 + si * rb, 8)
             band = img_ref[0, :, pl.ds(base, rb), :]  # (KC, RB, Wp)
             r = _dot_f32(band.reshape(kc * rb, wp), oh,
-                         (((1,), (1,)), ((), ())))  # (KC*RB, PT)
+                         (((1,), (0,)), ((), ())))  # (KC*RB, PT)
             r3 = r.reshape(kc, rb, _PT)
             rowi = base + jax.lax.broadcasted_iota(jnp.int32, (rb, _PT), 0)
             s0 = (yp[None, :] == rowi).astype(jnp.float32)
@@ -1041,8 +1048,10 @@ def zband_gather(img, zidx, yidx, xidx):
         zp = z_ref[0, 0, 0, :]
         yp = y_ref[0, 0, 0, :]
         xp = x_ref[0, 0, 0, :]
-        lane = jax.lax.broadcasted_iota(jnp.int32, (_PT, wp), 1)
-        oh = (xp[:, None] == lane).astype(jnp.bfloat16)
+        # transposed (Wp, PT) one-hot: natural MXU layouts on both matmul
+        # operands, no per-tile RHS relayout (see band_gather)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (wp, _PT), 0)
+        oh = (xp[None, :] == lane).astype(jnp.bfloat16)
         rlo8, nseg = _band_ranges(yp, rb)
         zlo, nz = _zband_zrange(zp, d)
         total = nz * jnp.maximum(nseg, 0)
@@ -1052,7 +1061,7 @@ def zband_gather(img, zidx, yidx, xidx):
     def accumulate(band, zp, yp, oh, z, base, accs):
         a00, a01, a10, a11 = accs
         r = _dot_f32(band.reshape(kc * rb, wp), oh,
-                     (((1,), (1,)), ((), ())))  # (KC*RB, PT)
+                     (((1,), (0,)), ((), ())))  # (KC*RB, PT)
         r3 = r.reshape(kc, rb, _PT)
         rowi = base + jax.lax.broadcasted_iota(jnp.int32, (rb, _PT), 0)
         sy0 = (yp[None, :] == rowi)

@@ -145,17 +145,18 @@ def _ss_ladder(spatial_dims: int):
     (trace-time; ADVCHAIN_SS_LADDER="4,8" overrides, "" disables).
 
     Step k's displacement is ~|duv|/2^(n-k): only the last 2-3 steps
-    exceed the default stencil tier, and widening THEIR tier (the VPU
-    stencil scales as (2R+1)^2 while the band kernels pay a full
-    MXU band sweep regardless) keeps typical morph chains entirely off
-    the gather path.  The runtime cond still guards each step — a larger
-    |duv| falls back to the band kernels exactly as before.  3D default:
-    no ladder (the adaptive step growth keeps compositions sub-voxel and
-    the 3D episode is already at ~88% measured HBM utilization)."""
+    exceed the default stencil tier.  The hypothesis was that widening
+    THEIR tier keeps chains off the gather path cheaply — but the VPU
+    stencil scales as (2R+1)^2 taps (R=4: 81, R=8: 289) plus VJPs, and
+    MEASURED on the headline episode the (4, 8) ladder is a large LOSS:
+    158 img/s vs 208 with no ladder (2026-08-21, batch 128; the band
+    fallback's one MXU sweep beats a 289-tap VPU neighborhood).  Default
+    is therefore NO ladder in both 2D and 3D; ADVCHAIN_SS_LADDER stays
+    as the A/B override that produced the measurement."""
     ov = os.environ.get("ADVCHAIN_SS_LADDER")
     if ov is not None:
         return tuple(int(r) for r in ov.split(",") if r.strip())
-    return (4, 8) if spatial_dims == 2 else ()
+    return ()
 
 
 def exponentiate_flow(duv, nb_steps: int = 8, method: str = "ss",

@@ -38,6 +38,11 @@ Timing methodology:
 * Channel-packed streamed 3D sampler (share the one-hot compare across
   channels; kernels/gather_matmul.py) lifted the 3D episode
   0.247 -> 1.132 vol/s (2026-08-20).
+* Round 5: transposed (Wp, PT) one-hot (natural MXU operand layouts in
+  every gather kernel) + the demons/morph closed-form final composition
+  lifted the headline 180 -> 208.4 img/s; the experimental R=4/R=8
+  scaling-and-squaring stencil ladder measured 158 img/s and is now
+  default-OFF (ADVCHAIN_SS_LADDER keeps it reproducible) (2026-08-21).
 """
 
 import json
