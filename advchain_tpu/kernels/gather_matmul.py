@@ -57,7 +57,7 @@ _PT = int(os.environ.get("ADVCHAIN_PT", "1024"))
 _CH = 512
 
 
-def _dot_f32(vals, oh, dims):
+def _dot_f32(vals, oh, dims, splits: int = 3):
     """MXU matmuls round f32 inputs to bf16 (~1e-3 relative error —
     measured on v5e; torch-parity demands <1e-4).  The one-hot side is
     exactly representable (0/1), so splitting the VALUE side into THREE
@@ -68,21 +68,44 @@ def _dot_f32(vals, oh, dims):
     scaling-and-squaring self-composes the sampled flow 8 times, doubling
     any per-warp rounding each step (~256x) — the earlier TWO-term split
     (~1e-5 per warp) produced ~4e-3 adv_data deviations vs the exact-gather
-    XLA path at episode level."""
+    XLA path at episode level.
+
+    ``splits=2`` (hi + mid, ~2.5e-6 relative) is the GRADIENT tier: the
+    scatter kernels run only inside VJPs, where per-warp rounding SUMS
+    through the backward chain (8 linear steps -> ~2e-5) instead of
+    self-composing — forward flows keep splits=3."""
     hi = vals.astype(jnp.bfloat16)
     r1 = vals - hi.astype(jnp.float32)
     mid = r1.astype(jnp.bfloat16)
-    lo = (r1 - mid.astype(jnp.float32)).astype(jnp.bfloat16)
-    # ONE matmul with the three splits stacked on the M (row) axis: the MXU
+    if splits == 2:
+        parts = [hi, mid]
+    else:
+        lo = (r1 - mid.astype(jnp.float32)).astype(jnp.bfloat16)
+        parts = [hi, mid, lo]
+    # ONE matmul with the splits stacked on the M (row) axis: the MXU
     # runs ceil(M/128) passes per block regardless of fill, and M=K*C is
-    # 4-24 here, so three separate M-row matmuls cost 3x the passes of one
-    # 3M-row matmul.  The splits are bf16-exact by construction and the
-    # one-hot is 0/1, so explicit bf16 inputs keep the selection f32-exact.
+    # 4-24 here, so separate M-row matmuls cost splits-times the passes of
+    # one stacked matmul.  The splits are bf16-exact by construction and
+    # the one-hot is 0/1, so explicit bf16 inputs keep the selection exact
+    # per term.
     m = vals.shape[0]
-    stacked = jnp.concatenate([hi, mid, lo], axis=0)
+    stacked = jnp.concatenate(parts, axis=0)
     out = jax.lax.dot_general(stacked, oh.astype(jnp.bfloat16), dims,
                               preferred_element_type=jnp.float32)
-    return out[:m] + out[m:2 * m] + out[2 * m:]
+    acc = out[:m]
+    for s in range(1, len(parts)):
+        acc = acc + out[s * m:(s + 1) * m]
+    return acc
+
+
+def _scatter_splits() -> int:
+    """Value-split terms for the scatter (VJP-only) kernels, trace-time.
+    Default 2 (see _dot_f32): measured -6% (c=1) to -21% (c=5, wide span)
+    per scatter with ~2.5e-6 relative d_img rounding, far under the 1e-3
+    gradient-parity bars.  ADVCHAIN_SCATTER_SPLIT=3 restores the exact
+    tier for A/B."""
+    ov = os.environ.get("ADVCHAIN_SCATTER_SPLIT")
+    return int(ov) if ov else 2
 
 
 def _interpret() -> bool:
@@ -325,7 +348,8 @@ def _corner_scatter_resident(g_r, idx_4d, k: int, c: int, s_pad: int):
             base = pl.multiple_of(ci * _CH, _CH)
             oh = (pix[:, None] - base == lane).astype(jnp.float32)
             out_ref[0, :, pl.ds(base, _CH)] += _dot_f32(
-                gt, oh, (((1,), (0,)), ((), ())))
+                gt, oh, (((1,), (0,)), ((), ())),
+                splits=_scatter_splits())
             return 0
 
         jax.lax.fori_loop(lo, hi, body, 0)
@@ -375,7 +399,8 @@ def _corner_scatter_chunk_major(g_r, idx_4d, k: int, c: int, s_pad: int):
             pix = idx_ref[0, 0, 0, :]  # (PT,) — pi-th tile via index_map
             oh = (pix[:, None] - base == lane).astype(jnp.float32)
             gt = g_ref[0, 0]  # (K*C, PT)
-            out_ref[0, 0] += _dot_f32(gt, oh, (((1,), (0,)), ((), ())))
+            out_ref[0, 0] += _dot_f32(gt, oh, (((1,), (0,)), ((), ())),
+                                      splits=_scatter_splits())
 
     out = pl.pallas_call(
         kernel,
@@ -620,7 +645,8 @@ def plane_scatter(g, zidx, yxidx, offsets: Tuple[int, ...], d: int, hw: int):
                 oh = ((zp[:, None] == z)
                       & (yxp[:, None] - base == lane)).astype(jnp.float32)
                 out_ref[0, :, z, pl.ds(base, _CH)] += _dot_f32(
-                    gt, oh, (((1,), (0,)), ((), ())))
+                    gt, oh, (((1,), (0,)), ((), ())),
+                    splits=_scatter_splits())
                 return 0
 
             return jax.lax.fori_loop(lo, hi, cbody, 0)
@@ -704,7 +730,8 @@ def _plane_scatter_streamed(g_r, z4, yx4, k: int, c: int, d: int, hwp: int):
                 rd.wait()
                 oh = ((zp[:, None] == z)
                       & (yxp[:, None] - base == lane)).astype(jnp.float32)
-                scratch[...] += _dot_f32(gt, oh, (((1,), (0,)), ((), ())))
+                scratch[...] += _dot_f32(gt, oh, (((1,), (0,)), ((), ())),
+                                         splits=_scatter_splits())
                 wr = pltpu.make_async_copy(scratch, blk, sem_w)
                 wr.start()
                 wr.wait()
@@ -917,7 +944,8 @@ def band_scatter(g, yidx, xidx, h: int, w: int):
             s1 = (yp[None, :] + 1 == rowi).astype(jnp.float32)
             gb = (g0[:, None, :] * s0[None] + g1[:, None, :] * s1[None])
             contrib = _dot_f32(gb.reshape(kc * rb, _PT), oh,
-                               (((1,), (0,)), ((), ())))  # (KC*RB, Wp)
+                               (((1,), (0,)), ((), ())),
+                               splits=_scatter_splits())  # (KC*RB, Wp)
             out_ref[0, :, pl.ds(base, rb), :] += contrib.reshape(
                 kc, rb, wp)
             return 0
@@ -1220,7 +1248,8 @@ def zband_scatter(g, zidx, yidx, xidx, d: int, h: int, w: int):
               + g10[:, None, :] * (sy0 & sz1).astype(jnp.float32)[None]
               + g11[:, None, :] * (sy1 & sz1).astype(jnp.float32)[None])
         contrib = _dot_f32(gb.reshape(kc * rb, _PT), oh,
-                           (((1,), (0,)), ((), ())))  # (KC*RB, Wp)
+                           (((1,), (0,)), ((), ())),
+                           splits=_scatter_splits())  # (KC*RB, Wp)
         return contrib.reshape(kc, rb, wp)
 
     if resident:

@@ -213,14 +213,16 @@ def test_zband_vs_legacy_plane_path_equivalence(rng, monkeypatch):
         m.setenv("ADVCHAIN_ZBAND", "0")
         legacy, dl_img, dl_grid = run()
     np.testing.assert_allclose(zband, legacy, atol=1e-6)
-    np.testing.assert_allclose(dl_img, dz_img, atol=1e-5)
+    # d_img: both scatters run the 2-term gradient-tier split (~2.5e-6
+    # relative each, rounded independently per kernel) — see _dot_f32
+    np.testing.assert_allclose(dl_img, dz_img, atol=5e-5)
     np.testing.assert_allclose(dl_grid, dz_grid, atol=1e-4)
     with monkeypatch.context() as m:
         # budget too small for residency -> streamed HBM bands
         m.setenv("ADVCHAIN_ZBAND_BUDGET", "1024")
         streamed, ds_img, ds_grid = run()
     np.testing.assert_allclose(streamed, zband, atol=1e-6)
-    np.testing.assert_allclose(ds_img, dz_img, atol=1e-5)
+    np.testing.assert_allclose(ds_img, dz_img, atol=5e-5)
     np.testing.assert_allclose(ds_grid, dz_grid, atol=1e-4)
     jax.clear_caches()  # leave no env-specialized programs behind
 
