@@ -410,6 +410,137 @@ def make_band_gather_xwin():
     return gather
 
 
+def make_band_gather_direct():
+    """band_gather with a DIRECT (N, 4C, T*PT) output layout: blocks land
+    at (i, 0, j) so the corner-major (N, 4, C, P) result is a free
+    reshape — no XLA moveaxis pass over the 4C*P output."""
+
+    @jax.jit
+    def gather(img, yidx, xidx):
+        n, c, h, w = img.shape
+        kc = 2 * c
+        rbv = _band_rb(kc)
+        img_k, hp, wp = _band_pack(img, rbv)
+        y4, x4, n_tiles, p_orig = _band_tiles(yidx, xidx)
+
+        def kernel(y_ref, x_ref, img_ref, out_ref):
+            yp = y_ref[0, 0, 0, :]
+            xp = x_ref[0, 0, 0, :]
+            lane = jax.lax.broadcasted_iota(jnp.int32, (wp, _PT), 0)
+            oh = (xp[None, :] == lane).astype(jnp.bfloat16)
+            rlo8, nseg = _band_ranges(yp, rbv)
+
+            def seg(si, accs):
+                a0, a1 = accs
+                base = pl.multiple_of(rlo8 + si * rbv, 8)
+                band = img_ref[0, :, pl.ds(base, rbv), :]
+                r = _dot_f32(band.reshape(kc * rbv, wp), oh,
+                             (((1,), (0,)), ((), ())))
+                r3 = r.reshape(kc, rbv, _PT)
+                rowi = base + jax.lax.broadcasted_iota(
+                    jnp.int32, (rbv, _PT), 0)
+                s0 = (yp[None, :] == rowi).astype(jnp.float32)
+                s1 = (yp[None, :] + 1 == rowi).astype(jnp.float32)
+                return (a0 + jnp.sum(r3 * s0[None], axis=1),
+                        a1 + jnp.sum(r3 * s1[None], axis=1))
+
+            z = jnp.zeros((kc, _PT), jnp.float32)
+            a0, a1 = jax.lax.fori_loop(0, nseg, seg, (z, z))
+            out_ref[0] = jnp.concatenate([a0, a1], axis=0)
+
+        out = pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct((n, 4 * c, n_tiles * _PT),
+                                           jnp.float32),
+            grid=(n, n_tiles),
+            in_specs=[
+                pl.BlockSpec((1, 1, 1, _PT), lambda i, j: (i, j, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, 1, _PT), lambda i, j: (i, j, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, kc, hp, wp), lambda i, j: (i, 0, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((1, 4 * c, _PT), lambda i, j: (i, 0, j),
+                                   memory_space=pltpu.VMEM),
+            interpret=_interpret(),
+        )(y4, x4, img_k)
+        # rows are [y0:(x0 C | x1 C) | y1:(x0 C | x1 C)] = corner order
+        return out.reshape(n, 4, c, n_tiles * _PT)[..., :p_orig]
+
+    return gather
+
+
+def make_band_scatter_direct():
+    """band_scatter accepting g in the free-reshape (N, 4C, P) layout:
+    blocks read at (i, 0, j) — no XLA moveaxis pass over the input."""
+    @functools.partial(jax.jit, static_argnames=("h", "w"))
+    def scatter(g, yidx, xidx, h, w):
+        n, four, c, p0 = g.shape
+        kc = 2 * c
+        rb = _band_rb(kc)
+        hp = -(-(h + rb) // 8) * 8
+        wp = -(-w // 128) * 128
+        y4, x4, n_tiles, _ = _band_tiles(yidx, xidx)
+        g_r = g.reshape(n, 4 * c, p0)  # free
+        g_r, _ = _pad_to(g_r, _PT, axis=2)
+
+        def kernel(y_ref, x_ref, g_ref, out_ref):
+            j = pl.program_id(1)
+
+            @pl.when(j == 0)
+            def _():
+                out_ref[0] = jnp.zeros((kc, hp, wp), jnp.float32)
+
+            yp = y_ref[0, 0, 0, :]
+            xp = x_ref[0, 0, 0, :]
+            lane = jax.lax.broadcasted_iota(jnp.int32, (_PT, wp), 1)
+            oh = (xp[:, None] == lane).astype(jnp.bfloat16)
+            rlo8, nseg = _band_ranges(yp, rb)
+            gt = g_ref[0]  # (4C, PT)
+            g0 = gt[:kc]
+            g1 = gt[kc:]
+
+            def seg(si, _):
+                base = pl.multiple_of(rlo8 + si * rb, 8)
+                rowi = base + jax.lax.broadcasted_iota(
+                    jnp.int32, (rb, _PT), 0)
+                s0 = (yp[None, :] == rowi).astype(jnp.float32)
+                s1 = (yp[None, :] + 1 == rowi).astype(jnp.float32)
+                gb = (g0[:, None, :] * s0[None] + g1[:, None, :] * s1[None])
+                contrib = _dot_f32(gb.reshape(kc * rb, _PT), oh,
+                                   (((1,), (0,)), ((), ())))
+                out_ref[0, :, pl.ds(base, rb), :] += contrib.reshape(
+                    kc, rb, wp)
+                return 0
+
+            jax.lax.fori_loop(0, nseg, seg, 0)
+
+        out = pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct((n, kc, hp, wp), jnp.float32),
+            grid=(n, n_tiles),
+            in_specs=[
+                pl.BlockSpec((1, 1, 1, _PT), lambda i, j: (i, j, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, 1, _PT), lambda i, j: (i, j, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 4 * c, _PT), lambda i, j: (i, 0, j),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((1, kc, hp, wp),
+                                   lambda i, j: (i, 0, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            interpret=_interpret(),
+        )(y4, x4, g_r)
+        out = out.reshape(n, 2, c, hp, wp)
+        dimg = out[:, 0, :, :h, :w]
+        dimg = dimg.at[:, :, :, 1:].add(out[:, 1, :, :h, :w - 1])
+        return dimg
+
+    return scatter
+
+
 def blocked_affine_indices(n, h, w, deg, seed=0):
     """(yidx, xidx) for a rotation by ``deg`` in BLOCKED (32x32 at PT=1024)
     tile order — the affine warp's operating pattern."""

@@ -41,6 +41,38 @@ def test_corner_scatter_is_transpose(rng):
     np.testing.assert_allclose(lhs, rhs, rtol=1e-5)
 
 
+def test_scatter_split_knob(rng, monkeypatch):
+    """ADVCHAIN_SCATTER_SPLIT=3 restores the f32-exact scatter tier; the
+    default 2-term gradient tier stays within its documented ~2.5e-6
+    relative bound of it (see _dot_f32)."""
+    from advchain_tpu.kernels.gather_matmul import band_scatter
+    n, c, h, w = 2, 2, 64, 64
+    p = h * w
+    yi = jnp.asarray(rng.randint(0, h, (n, p)).astype(np.int32))
+    xi = jnp.asarray(rng.randint(0, w, (n, p)).astype(np.int32))
+    g = jnp.asarray((rng.rand(n, 4, c, p) - 0.5).astype(np.float32))
+    d2 = np.asarray(band_scatter(g, yi, xi, h, w))
+    with monkeypatch.context() as m:
+        m.setenv("ADVCHAIN_SCATTER_SPLIT", "3")
+        jax.clear_caches()  # splits are read at trace time
+        d3 = np.asarray(band_scatter(g, yi, xi, h, w))
+    jax.clear_caches()
+    # exact tier == the numpy oracle
+    ref = np.zeros((n, c, h, w), np.float32)
+    gn = np.asarray(g)
+    for ni in range(n):
+        for k, (dy, dx) in enumerate([(0, 0), (0, 1), (1, 0), (1, 1)]):
+            yy = np.asarray(yi)[ni] + dy
+            xx = np.asarray(xi)[ni] + dx
+            ok = (yy < h) & (xx < w)
+            np.add.at(ref[ni], (slice(None), yy[ok], xx[ok]),
+                      gn[ni, k, :, ok].T)
+    np.testing.assert_allclose(d3, ref, atol=1e-5)
+    scale = np.abs(ref).max()
+    assert np.abs(d2 - d3).max() < 1e-5 * max(scale, 1.0), \
+        np.abs(d2 - d3).max()
+
+
 def test_corner_scatter_chunk_major_matches_resident(rng, monkeypatch):
     """The over-VMEM-budget chunk-major scatter must agree with the
     resident (default) variant bit-for-bit on the same inputs."""
