@@ -874,16 +874,30 @@ def band_gather(img, yidx, xidx):
         z = jnp.zeros((kc, _PT), jnp.float32)
         a0, a1 = jax.lax.fori_loop(0, nseg, seg, (z, z))
         # rows: [v00 (C), v01 (C), v10 (C), v11 (C)] — x-shift major in a0/a1
-        out_ref[0, 0] = jnp.concatenate([a0, a1], axis=0)
+        res = jnp.concatenate([a0, a1], axis=0)
+        if direct:
+            out_ref[0] = res
+        else:
+            out_ref[0, 0] = res
 
-    # NOTE: a (N, 4C, T*PT) direct-layout output (sparing the moveaxis
-    # below) measured +1.8% on the 3D z-band kernels but -1.4% on the 2D
-    # headline (the strided per-tile writes cost more than the transpose
-    # saves at 4C rows) — 2D keeps the tile-major layout
+    # Direct (N, 4C, T*PT) output layout (blocks land at (i, 0, j), the
+    # corner-major result is a free reshape — no XLA moveaxis pass):
+    # round-4 measured it -1.4% pre-transposed-one-hot; re-measured round 5
+    # as an A/B knob since the kernel balance changed.  ADVCHAIN_BAND_DIRECT.
+    direct = os.environ.get("ADVCHAIN_BAND_DIRECT", "0") == "1"
+    if direct:
+        out_shape = jax.ShapeDtypeStruct((n, 4 * c, n_tiles * _PT),
+                                         jnp.float32)
+        out_spec = pl.BlockSpec((1, 4 * c, _PT), lambda i, j: (i, 0, j),
+                                memory_space=pltpu.VMEM)
+    else:
+        out_shape = jax.ShapeDtypeStruct((n, n_tiles, 4 * c, _PT),
+                                         jnp.float32)
+        out_spec = pl.BlockSpec((1, 1, 4 * c, _PT), lambda i, j: (i, j, 0, 0),
+                                memory_space=pltpu.VMEM)
     out = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((n, n_tiles, 4 * c, _PT),
-                                       jnp.float32),
+        out_shape=out_shape,
         grid=(n, n_tiles),
         in_specs=[
             pl.BlockSpec((1, 1, 1, _PT), lambda i, j: (i, j, 0, 0),
@@ -893,10 +907,12 @@ def band_gather(img, yidx, xidx):
             pl.BlockSpec((1, kc, hp, wp), lambda i, j: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, 1, 4 * c, _PT), lambda i, j: (i, j, 0, 0),
-                               memory_space=pltpu.VMEM),
+        out_specs=out_spec,
         interpret=_interpret(),
     )(y4, x4, img_k)
+    if direct:
+        # rows are [y0:(x0 C | x1 C) | y1:(x0 C | x1 C)] = corner order
+        return out.reshape(n, 4, c, n_tiles * _PT)[..., :p_orig]
     # (N, T, [x0|x1 per y-tap]*C, PT) -> (N, 4, C, P) in corner order
     out = out.reshape(n, n_tiles, 2, 2, c, _PT)  # (.., y-tap, x-shift, C, .)
     out = jnp.moveaxis(out, 1, 4)  # (N, ytap, xshift, C, T, PT)
@@ -915,11 +931,14 @@ def band_scatter(g, yidx, xidx, h: int, w: int):
     hp = -(-(h + rb) // 8) * 8
     wp = -(-w // 128) * 128
     y4, x4, n_tiles, _ = _band_tiles(yidx, xidx)
-    # (N, 4, C, P) -> (N, T, 4C, PT) with the kernel's (y-tap, x-shift, C)
-    # row order
+    # direct mode reads g blocks straight from the free-reshape (N, 4C, P)
+    # layout at (i, 0, j) — no XLA moveaxis pass (see band_gather's NOTE)
+    direct = os.environ.get("ADVCHAIN_BAND_DIRECT", "0") == "1"
     g_r = g.reshape(n, 2, 2, c, p0).reshape(n, 4 * c, p0)
     g_r, _ = _pad_to(g_r, _PT, axis=2)
-    g_r = jnp.moveaxis(g_r.reshape(n, 4 * c, n_tiles, _PT), 1, 2)
+    if not direct:
+        # (N, 4C, P) -> (N, T, 4C, PT): tile-major blocks
+        g_r = jnp.moveaxis(g_r.reshape(n, 4 * c, n_tiles, _PT), 1, 2)
 
     def kernel(y_ref, x_ref, g_ref, out_ref):
         j = pl.program_id(1)
@@ -933,7 +952,7 @@ def band_scatter(g, yidx, xidx, h: int, w: int):
         lane = jax.lax.broadcasted_iota(jnp.int32, (_PT, wp), 1)
         oh = (xp[:, None] == lane).astype(jnp.bfloat16)
         rlo8, nseg = _band_ranges(yp, rb)
-        gt = g_ref[0, 0]  # (4C, PT): [g00|g01|g10|g11] C rows each
+        gt = g_ref[0] if direct else g_ref[0, 0]  # (4C, PT), C rows per tap
         g0 = gt[:kc]      # y-tap 0, both x shifts
         g1 = gt[kc:]      # y-tap 1
 
@@ -952,6 +971,12 @@ def band_scatter(g, yidx, xidx, h: int, w: int):
 
         jax.lax.fori_loop(0, nseg, seg, 0)
 
+    if direct:
+        g_spec = pl.BlockSpec((1, 4 * c, _PT), lambda i, j: (i, 0, j),
+                              memory_space=pltpu.VMEM)
+    else:
+        g_spec = pl.BlockSpec((1, 1, 4 * c, _PT), lambda i, j: (i, j, 0, 0),
+                              memory_space=pltpu.VMEM)
     out = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((n, kc, hp, wp), jnp.float32),
@@ -961,8 +986,7 @@ def band_scatter(g, yidx, xidx, h: int, w: int):
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, 1, _PT), lambda i, j: (i, j, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, 4 * c, _PT), lambda i, j: (i, j, 0, 0),
-                         memory_space=pltpu.VMEM),
+            g_spec,
         ],
         out_specs=pl.BlockSpec((1, kc, hp, wp), lambda i, j: (i, 0, 0, 0),
                                memory_space=pltpu.VMEM),

@@ -168,6 +168,33 @@ def _use_pallas() -> bool:
     return _on_tpu_device()
 
 
+def _stencil_impl() -> str:
+    """Stencil-warp implementation selector (trace-time):
+
+    * ``'xla'`` (DEFAULT) — the original jnp formulation, differentiated
+      by autodiff under jax.checkpoint.
+    * ``'pallas'`` (ADVCHAIN_STENCIL_IMPL=pallas, opt-in) — the
+      kernels/stencil.py VMEM-resident kernels with the analytic custom
+      VJP: scaling-and-squaring fwd+bwd measured 89.5 -> 60.8 ms at the
+      headline shapes (batch 128) standalone, but the FULL fused episode
+      then crashes the remote TPU compile helper (subprocess exit 1, no
+      diagnostic, reproducible at every <=64 chunk size) — so the default
+      stays XLA until the toolchain can host it.  CPU tests drive the
+      kernel path in interpret mode via this knob."""
+    import os
+    return os.environ.get("ADVCHAIN_STENCIL_IMPL", "xla")
+
+
+def _stencil_pallas_ok(h: int, w: int, radius: int) -> bool:
+    """Kernel-path eligibility: the roll-based taps need the frame's
+    zero row margin to cover 2R (guaranteed for 8-multiple heights;
+    tiny odd shapes fall back to the XLA formulation)."""
+    margin_ok = ((-(-(h + 2 * radius) // 8) * 8) - (-(-h // 8) * 8)
+                 >= 2 * radius)
+    return margin_ok and _stencil_impl() == "pallas"
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
 def stencil_warp_2d(img, grid, radius: int, grid_layout: str = "last"):
     """Bilinear warp (border padding, align_corners=True) specialized for
     near-identity grids: every sample must lie within ``radius`` pixels of
@@ -181,8 +208,14 @@ def stencil_warp_2d(img, grid, radius: int, grid_layout: str = "last"):
     adv_morph.py:116-144), whose displacement doubles from |duv|/2^n per
     step: the first ~half of the steps are sub-pixel.  Math is exactly
     bilinear-with-border-clamp, so results match grid_sample_2d(...,
-    padding_mode='border') to f32 rounding; gradients to both img and
-    grid flow through native autodiff (no custom VJP needed).
+    padding_mode='border') to f32 rounding.
+
+    Gradients flow through an ANALYTIC custom VJP (_stencil_warp_2d_bwd):
+    autodiff through the (2R+1)^2 where-chains recomputed the weight
+    selects once per derivative path (measured 4.6x the forward cost per
+    scaling-and-squaring step); the analytic backward shares one tap
+    sweep between d_img and the two weight-derivative contractions.
+    Residuals are just (img, grid), so callers need no jax.checkpoint.
 
     ``grid_layout``: 'last' = (N, H, W, 2) torch convention; 'first' =
     (N, 2, H, W) channel-first flow, sparing the caller a minor-dim
@@ -190,6 +223,21 @@ def stencil_warp_2d(img, grid, radius: int, grid_layout: str = "last"):
     episode when both cond branches shared one channel-last grid).
     """
     n, c, h, w = img.shape
+    R = int(radius)
+    if _stencil_pallas_ok(h, w, R):
+        from advchain_tpu.kernels.stencil import stencil_fwd_2d_pallas
+        g2 = grid if grid_layout == "first" else jnp.moveaxis(grid, -1, 1)
+        imgp = jnp.pad(img, ((0, 0), (0, 0), (R, R), (R, R)), mode="edge")
+        return stencil_fwd_2d_pallas(imgp, g2, R).astype(img.dtype)
+    return _stencil_warp_2d_xla_fn(img, grid, radius, grid_layout)
+
+
+def _stencil_warp_2d_xla_fn(img, grid, radius: int,
+                            grid_layout: str = "last"):
+    """The plain-jnp stencil warp (autodiff-able) — compose_flow's
+    DEFAULT under jax.checkpoint (see _stencil_impl)."""
+    n, c, h, w = img.shape
+    R = int(radius)
     # coordinate/weight math in f32 regardless of img.dtype: in bf16 the
     # pixel-coordinate error is up to ~h*2^-9 px (~0.4 px at h=192), which
     # silently breaks the caller-guaranteed radius bound and drops weight
@@ -232,6 +280,116 @@ def stencil_warp_2d(img, grid, radius: int, grid_layout: str = "last"):
             inner = inner + wxs[s + R][:, None] * tap.astype(f)
         out = out + wys[r + R][:, None] * inner
     return out.astype(img.dtype)
+
+
+def _stencil_warp_2d_fwd(img, grid, radius: int, grid_layout: str):
+    return stencil_warp_2d(img, grid, radius, grid_layout), (img, grid)
+
+
+def _stencil_warp_2d_bwd(radius: int, grid_layout: str, res, g):
+    """Analytic VJP.  Weight factorization: out = Σ_r wy_r · inner_r with
+    inner_r = Σ_s wx_s · tap_{r,s}, and dwy_r/dfy = 1[dy==r-1] − 1[dy==r]
+    (dwx likewise), so ONE sweep over the (2R+1)^2 taps yields both
+    inner_r and dinner_r (= Σ_s dwx_s · tap); d_img is the transposed
+    stencil — wy_r·wx_s·g accumulated at the shifted position — with the
+    edge-replicated halo folded back onto the border pixels (the exact
+    transpose of mode='edge' padding)."""
+    img, grid = res
+    n, c, h, w = img.shape
+    R = int(radius)
+    if _stencil_pallas_ok(h, w, R):
+        from advchain_tpu.kernels.stencil import stencil_bwd_2d_pallas
+        g2 = grid if grid_layout == "first" else jnp.moveaxis(grid, -1, 1)
+        imgp = jnp.pad(img, ((0, 0), (0, 0), (R, R), (R, R)), mode="edge")
+        d_imgp, d_fy, d_fx = stencil_bwd_2d_pallas(imgp, g2, g, R)
+        # fold the edge-replicated halo (rows, then cols — 'edge'
+        # corners replicate the corner pixel, so the folds compose)
+        dr = d_imgp[:, :, R:R + h, :]
+        dr = dr.at[:, :, 0, :].add(jnp.sum(d_imgp[:, :, :R, :], axis=2))
+        dr = dr.at[:, :, h - 1, :].add(
+            jnp.sum(d_imgp[:, :, R + h:, :], axis=2))
+        d_img = dr[:, :, :, R:R + w]
+        d_img = d_img.at[:, :, :, 0].add(jnp.sum(dr[:, :, :, :R], axis=3))
+        d_img = d_img.at[:, :, :, w - 1].add(
+            jnp.sum(dr[:, :, :, R + w:], axis=3))
+        d_gx = d_fx * (0.5 * (w - 1))
+        d_gy = d_fy * (0.5 * (h - 1))
+        if grid_layout == "first":
+            d_grid = jnp.stack([d_gx, d_gy], axis=1)
+        else:
+            d_grid = jnp.stack([d_gx, d_gy], axis=-1)
+        return d_img.astype(img.dtype), d_grid.astype(grid.dtype)
+    f = jnp.promote_types(img.dtype, jnp.float32)
+    if grid_layout == "first":
+        gx, gy = grid[:, 0], grid[:, 1]
+    else:
+        gx, gy = grid[..., 0], grid[..., 1]
+    xpix = (gx.astype(f) + 1.0) * 0.5 * (w - 1)
+    ypix = (gy.astype(f) + 1.0) * 0.5 * (h - 1)
+    y0 = jnp.floor(ypix)
+    x0 = jnp.floor(xpix)
+    fy = ypix - y0
+    fx = xpix - x0
+    iy = jnp.arange(h, dtype=jnp.int32)[None, :, None]
+    ix = jnp.arange(w, dtype=jnp.int32)[None, None, :]
+    dy = y0.astype(jnp.int32) - iy
+    dx = x0.astype(jnp.int32) - ix
+    R = int(radius)
+    imgp = jnp.pad(img, ((0, 0), (0, 0), (R, R), (R, R)), mode="edge")
+    one = jnp.ones((), f)
+    zero = jnp.zeros((), f)
+    wys = [jnp.where(dy == r, one - fy, zero)
+           + jnp.where(dy == r - 1, fy, zero) for r in range(-R, R + 1)]
+    dwys = [jnp.where(dy == r - 1, one, zero)
+            - jnp.where(dy == r, one, zero) for r in range(-R, R + 1)]
+    wxs = [jnp.where(dx == s, one - fx, zero)
+           + jnp.where(dx == s - 1, fx, zero) for s in range(-R, R + 1)]
+    dwxs = [jnp.where(dx == s - 1, one, zero)
+            - jnp.where(dx == s, one, zero) for s in range(-R, R + 1)]
+    gf = g.astype(f)
+
+    d_fy = jnp.zeros((n, h, w), f)
+    d_fx = jnp.zeros((n, h, w), f)
+    d_imgp = jnp.zeros((n, c, h + 2 * R, w + 2 * R), f)
+    for r in range(-R, R + 1):
+        inner = jnp.zeros((n, c, h, w), f)
+        dinner = jnp.zeros((n, c, h, w), f)
+        for s in range(-R, R + 1):
+            tap = imgp[:, :, R + r:R + r + h, R + s:R + s + w].astype(f)
+            inner = inner + wxs[s + R][:, None] * tap
+            dinner = dinner + dwxs[s + R][:, None] * tap
+            # transposed stencil: wy_r·wx_s·g placed at offset (r, s) via
+            # zero-PADDING, not .at[].add — dynamic-update-slices
+            # serialize as full-buffer copies, while a sum of pads fuses
+            # into one elementwise pass over the 25 taps
+            t = (wys[r + R] * wxs[s + R])[:, None] * gf
+            d_imgp = d_imgp + jnp.pad(
+                t, ((0, 0), (0, 0), (R + r, R - r), (R + s, R - s)))
+        gsum = jnp.sum(gf * inner, axis=1)  # Σ_c g·inner_r
+        d_fy = d_fy + dwys[r + R] * gsum
+        d_fx = d_fx + wys[r + R] * jnp.sum(gf * dinner, axis=1)
+
+    # fold the edge-replicated halo back onto the border (rows, then cols
+    # — 'edge' corners replicate the corner pixel, so the two folds
+    # compose exactly)
+    dr = d_imgp[:, :, R:R + h, :]
+    dr = dr.at[:, :, 0, :].add(jnp.sum(d_imgp[:, :, :R, :], axis=2))
+    dr = dr.at[:, :, h - 1, :].add(jnp.sum(d_imgp[:, :, R + h:, :], axis=2))
+    d_img = dr[:, :, :, R:R + w]
+    d_img = d_img.at[:, :, :, 0].add(jnp.sum(dr[:, :, :, :R], axis=3))
+    d_img = d_img.at[:, :, :, w - 1].add(jnp.sum(dr[:, :, :, R + w:],
+                                                 axis=3))
+
+    d_gx = d_fx * (0.5 * (w - 1))
+    d_gy = d_fy * (0.5 * (h - 1))
+    if grid_layout == "first":
+        d_grid = jnp.stack([d_gx, d_gy], axis=1)
+    else:
+        d_grid = jnp.stack([d_gx, d_gy], axis=-1)
+    return d_img.astype(img.dtype), d_grid.astype(grid.dtype)
+
+
+stencil_warp_2d.defvjp(_stencil_warp_2d_fwd, _stencil_warp_2d_bwd)
 
 
 def grid_sample_2d(x, grid, mode: str = "bilinear", padding_mode: str = "zeros",
@@ -335,13 +493,22 @@ def _grid_sample_2d_xla(x, grid, mode="bilinear", padding_mode="zeros",
     return out.reshape(n, c, ho, wo).astype(x.dtype)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
 def stencil_warp_3d(img, grid, radius: int, grid_layout: str = "last"):
     """Trilinear warp (border padding, align_corners=True) specialized for
     near-identity grids — the 3D analogue of :func:`stencil_warp_2d`:
     every sample must lie within ``radius`` voxels of its own output voxel
     (caller-guaranteed via compose_flow's lax.cond).  (2R+1)^3 static
     shifts with spatially-varying separable weights; grid channel order is
-    torch's (x=W, y=H, z=D).  ``grid_layout`` as in stencil_warp_2d."""
+    torch's (x=W, y=H, z=D).  ``grid_layout`` as in stencil_warp_2d.
+    Gradients via the analytic custom VJP (see _stencil_warp_3d_bwd)."""
+    return _stencil_warp_3d_xla_fn(img, grid, radius, grid_layout)
+
+
+def _stencil_warp_3d_xla_fn(img, grid, radius: int,
+                            grid_layout: str = "last"):
+    """The plain-jnp 3D stencil warp (autodiff-able) — compose_flow's
+    DEFAULT under jax.checkpoint (see _stencil_impl)."""
     n, c, d, h, w = img.shape
     # f32 coordinate/weight math + accumulation regardless of img.dtype
     # (see stencil_warp_2d)
@@ -389,6 +556,111 @@ def stencil_warp_3d(img, grid, radius: int, grid_layout: str = "last"):
             mid = mid + wys[ty + R][:, None] * inner
         out = out + wzs[tz + R][:, None] * mid
     return out.astype(img.dtype)
+
+
+def _stencil_warp_3d_fwd(img, grid, radius: int, grid_layout: str):
+    return stencil_warp_3d(img, grid, radius, grid_layout), (img, grid)
+
+
+def _stencil_warp_3d_bwd(radius: int, grid_layout: str, res, g):
+    """Analytic VJP (see _stencil_warp_2d_bwd): one sweep over the
+    (2R+1)^3 taps yields inner and its fx-derivative; mid-level sums give
+    the fy-derivative; the outer z loop the fz-derivative; d_img is the
+    transposed stencil with the edge halo folded per axis."""
+    img, grid = res
+    n, c, d, h, w = img.shape
+    f = jnp.promote_types(img.dtype, jnp.float32)
+    if grid_layout == "first":
+        gx, gy, gz = grid[:, 0], grid[:, 1], grid[:, 2]
+    else:
+        gx, gy, gz = grid[..., 0], grid[..., 1], grid[..., 2]
+    xpix = (gx.astype(f) + 1.0) * 0.5 * (w - 1)
+    ypix = (gy.astype(f) + 1.0) * 0.5 * (h - 1)
+    zpix = (gz.astype(f) + 1.0) * 0.5 * (d - 1)
+    z0, y0, x0 = jnp.floor(zpix), jnp.floor(ypix), jnp.floor(xpix)
+    fz, fy, fx = zpix - z0, ypix - y0, xpix - x0
+    iz = jnp.arange(d, dtype=jnp.int32)[None, :, None, None]
+    iy = jnp.arange(h, dtype=jnp.int32)[None, None, :, None]
+    ix = jnp.arange(w, dtype=jnp.int32)[None, None, None, :]
+    dz = z0.astype(jnp.int32) - iz
+    dy = y0.astype(jnp.int32) - iy
+    dx = x0.astype(jnp.int32) - ix
+    R = int(radius)
+    imgp = jnp.pad(img, ((0, 0), (0, 0), (R, R), (R, R), (R, R)),
+                   mode="edge")
+    one = jnp.ones((), f)
+    zero = jnp.zeros((), f)
+
+    def taps(di, frac):
+        return [jnp.where(di == t, one - frac, zero)
+                + jnp.where(di == t - 1, frac, zero)
+                for t in range(-R, R + 1)]
+
+    def dtaps(di):
+        return [jnp.where(di == t - 1, one, zero)
+                - jnp.where(di == t, one, zero)
+                for t in range(-R, R + 1)]
+
+    wzs, wys, wxs = taps(dz, fz), taps(dy, fy), taps(dx, fx)
+    dwzs, dwys, dwxs = dtaps(dz), dtaps(dy), dtaps(dx)
+    gf = g.astype(f)
+
+    d_fz = jnp.zeros((n, d, h, w), f)
+    d_fy = jnp.zeros_like(d_fz)
+    d_fx = jnp.zeros_like(d_fz)
+    d_imgp = jnp.zeros((n, c, d + 2 * R, h + 2 * R, w + 2 * R), f)
+    for tz in range(-R, R + 1):
+        pz = imgp[:, :, R + tz:R + tz + d]
+        mid = jnp.zeros((n, c, d, h, w), f)
+        dmid_y = jnp.zeros_like(mid)
+        dmid_x = jnp.zeros_like(mid)
+        for ty in range(-R, R + 1):
+            py = pz[:, :, :, R + ty:R + ty + h]
+            inner = jnp.zeros((n, c, d, h, w), f)
+            dinner = jnp.zeros_like(inner)
+            for tx in range(-R, R + 1):
+                tap = py[:, :, :, :, R + tx:R + tx + w].astype(f)
+                inner = inner + wxs[tx + R][:, None] * tap
+                dinner = dinner + dwxs[tx + R][:, None] * tap
+                # zero-pad placement (fusable), not .at[].add (serial
+                # full-buffer copies) — see _stencil_warp_2d_bwd
+                t = (wzs[tz + R] * wys[ty + R]
+                     * wxs[tx + R])[:, None] * gf
+                d_imgp = d_imgp + jnp.pad(
+                    t, ((0, 0), (0, 0), (R + tz, R - tz),
+                        (R + ty, R - ty), (R + tx, R - tx)))
+            mid = mid + wys[ty + R][:, None] * inner
+            dmid_y = dmid_y + dwys[ty + R][:, None] * inner
+            dmid_x = dmid_x + wys[ty + R][:, None] * dinner
+        wz = wzs[tz + R][:, None]
+        d_fz = d_fz + dwzs[tz + R] * jnp.sum(gf * mid, axis=1)
+        d_fy = d_fy + jnp.sum(gf * (wz * dmid_y), axis=1)
+        d_fx = d_fx + jnp.sum(gf * (wz * dmid_x), axis=1)
+
+    # fold the edge halo per axis (z, then y, then x)
+    dv = d_imgp[:, :, R:R + d]
+    dv = dv.at[:, :, 0].add(jnp.sum(d_imgp[:, :, :R], axis=2))
+    dv = dv.at[:, :, d - 1].add(jnp.sum(d_imgp[:, :, R + d:], axis=2))
+    dv2 = dv[:, :, :, R:R + h]
+    dv2 = dv2.at[:, :, :, 0].add(jnp.sum(dv[:, :, :, :R], axis=3))
+    dv2 = dv2.at[:, :, :, h - 1].add(jnp.sum(dv[:, :, :, R + h:], axis=3))
+    d_img = dv2[:, :, :, :, R:R + w]
+    d_img = d_img.at[:, :, :, :, 0].add(jnp.sum(dv2[:, :, :, :, :R],
+                                                axis=4))
+    d_img = d_img.at[:, :, :, :, w - 1].add(
+        jnp.sum(dv2[:, :, :, :, R + w:], axis=4))
+
+    d_gx = d_fx * (0.5 * (w - 1))
+    d_gy = d_fy * (0.5 * (h - 1))
+    d_gz = d_fz * (0.5 * (d - 1))
+    if grid_layout == "first":
+        d_grid = jnp.stack([d_gx, d_gy, d_gz], axis=1)
+    else:
+        d_grid = jnp.stack([d_gx, d_gy, d_gz], axis=-1)
+    return d_img.astype(img.dtype), d_grid.astype(grid.dtype)
+
+
+stencil_warp_3d.defvjp(_stencil_warp_3d_fwd, _stencil_warp_3d_bwd)
 
 
 def grid_sample_3d(x, grid, mode: str = "bilinear", padding_mode: str = "zeros",

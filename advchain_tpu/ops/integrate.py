@@ -19,8 +19,9 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from .grid_sample import (grid_sample_2d, grid_sample_3d, stencil_warp_2d,
-                          stencil_warp_3d)
+from .grid_sample import (_stencil_impl, _stencil_warp_2d_xla_fn,
+                          _stencil_warp_3d_xla_fn, grid_sample_2d,
+                          grid_sample_3d, stencil_warp_2d, stencil_warp_3d)
 
 __all__ = ["base_grid", "compose_flow", "exponentiate_flow",
            "jacobian_determinant_2d"]
@@ -103,13 +104,20 @@ def compose_flow(flow1, flow2, stencil_radius: int | None = None):
         u = flow2 - base
         dpx = jnp.maximum(jnp.max(jnp.abs(u[:, 0])) * (0.5 * (w - 1)),
                           jnp.max(jnp.abs(u[:, 1])) * (0.5 * (h - 1)))
-        # checkpoint: the stencil's (2R+1)^2 weight planes would otherwise
-        # be saved per step for the backward pass (~115 MB/step at the
-        # headline shapes -> OOM through 8 nested compositions); they are
-        # cheap elementwise functions of the grid, so recompute them.
+        # DEFAULT: the jnp formulation under jax.checkpoint (the
+        # (2R+1)^2 weight planes would otherwise be saved per step for
+        # the backward — ~115 MB/step at headline shapes -> OOM through
+        # 8 nested compositions; they are cheap elementwise functions of
+        # the grid, so recompute them).  Opt-in ADVCHAIN_STENCIL_IMPL=
+        # pallas swaps in the kernels/stencil.py custom-VJP path (see
+        # _stencil_impl for why it is not yet the default).
         # ONE cond tier only — a nested R=1/R=2 ladder fragmented the
         # episode program's HBM allocation past capacity (78% frag OOM).
-        stencil = jax.checkpoint(stencil_warp_2d, static_argnums=(2, 3))
+        if _stencil_impl() == "pallas":
+            stencil = stencil_warp_2d
+        else:
+            stencil = jax.checkpoint(_stencil_warp_2d_xla_fn,
+                                     static_argnums=(2, 3))
         return lax.cond(
             dpx < float(radius) - 1e-3,
             lambda f: stencil(f, flow2, radius, "first"),
@@ -134,7 +142,11 @@ def compose_flow(flow1, flow2, stencil_radius: int | None = None):
     # throughput (2.377 vs 2.378 vol/s) — the adaptive step growth keeps
     # most compositions sub-voxel already and the doubling sequence skips
     # the (1, 2) px window — so keep the simpler program.
-    stencil3 = jax.checkpoint(stencil_warp_3d, static_argnums=(2, 3))
+    if _stencil_impl() == "pallas":
+        stencil3 = stencil_warp_3d
+    else:
+        stencil3 = jax.checkpoint(_stencil_warp_3d_xla_fn,
+                                  static_argnums=(2, 3))
     return lax.cond(dpx < float(radius) - 1e-3,
                     lambda f: stencil3(f, flow2, radius, "first"),
                     band3, flow1)
@@ -196,10 +208,23 @@ def exponentiate_flow(duv, nb_steps: int = 8, method: str = "ss",
             ladder = _ss_ladder(d)
             phi0 = grid + duv / (2.0 ** nb_steps)
             phi = _st(phi0)
-            for i in range(nb_steps):
-                li = i - (nb_steps - len(ladder))  # index into the ladder
-                r = ladder[li] if li >= 0 else None
-                phi = _st(compose_flow(phi, phi, stencil_radius=r))
+            if not ladder and _stencil_impl() == "pallas":
+                # kernel-path only: lax.scan traces the squaring ONCE,
+                # so the program carries one stencil fwd kernel + one
+                # bwd kernel instead of nb_steps copies (the unrolled
+                # form crashes the remote TPU compiler at 16 kernel
+                # instances).  The DEFAULT path stays UNROLLED — scan
+                # blocks XLA's cross-step fusion there (measured 212 ->
+                # 178 img/s on the headline).
+                def _square(p, _):
+                    return _st(compose_flow(p, p)), None
+
+                phi, _ = lax.scan(_square, phi, None, length=nb_steps)
+            else:
+                for i in range(nb_steps):
+                    li = i - (nb_steps - len(ladder))  # ladder index
+                    r = ladder[li] if li >= 0 else None
+                    phi = _st(compose_flow(phi, phi, stencil_radius=r))
             return phi.astype(duv.dtype) - phi0
         norm = jnp.linalg.norm(duv.reshape(-1))
         needed = jnp.ceil(jnp.log2(jnp.maximum(norm, 1e-30) / 0.5))
